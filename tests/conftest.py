@@ -1,0 +1,16 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the standard JAX substitute for multi-chip testing without hardware
+(SURVEY.md §4): sharding/pjit paths compile and execute against 8 virtual
+CPU devices; numerics tests just use device 0.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,219 @@
+"""T3 decoder-only transformer backbones (llama-style and gpt2-style).
+
+TPU-native design — not a port of HF modeling code:
+  * one prefill function (full padded prefix, causal-masked, writes the KV
+    cache in one shot) and one single-token decode function (reads the cache
+    with a length mask) — both pure and jittable with static shapes;
+  * KV cache is a preallocated (L, B, H, Tmax, D) pair, donated across decode
+    steps inside a `lax.while_loop` (see sampling/decode.py);
+  * classifier-free guidance rides the batch axis (B=2), so cond+uncond is a
+    single forward — no second pass (ref behavior: models/t3/t3.py:310-344);
+  * bf16 matmul-friendly: params can be cast with utils.dtypes.cast_params.
+
+Behavioral parity targets:
+  * llama family: LlamaModel(Llama_520M) — 30L/1024d/16h, llama3 RoPE
+    scaling θ=5e5 (ref: models/t3/llama_configs.py:1-33)
+  * gpt2 family: GPT2Model medium/small — learned wpe, gelu_new, fused qkv
+    (ref: models/t3/llama_configs.py:35-103)
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...nn import core as nn
+from .config import BackboneConfig
+
+
+# ---------------------------------------------------------------------------
+# RoPE (llama3 scaling)
+# ---------------------------------------------------------------------------
+
+def llama3_inv_freq(cfg: BackboneConfig) -> np.ndarray:
+    """Llama-3-style frequency scaling (ref config: llama_configs.py:23-29)."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    low_wl = cfg.rope_original_max_pos / cfg.rope_low_freq_factor
+    high_wl = cfg.rope_original_max_pos / cfg.rope_high_freq_factor
+    wavelen = 2.0 * np.pi / inv_freq
+    scaled = inv_freq / cfg.rope_scaling_factor
+    smooth = (cfg.rope_original_max_pos / wavelen - cfg.rope_low_freq_factor) / (
+        cfg.rope_high_freq_factor - cfg.rope_low_freq_factor)
+    smoothed = (1 - smooth) * scaled + smooth * inv_freq
+    out = np.where(wavelen < high_wl, inv_freq, np.where(wavelen > low_wl, scaled, smoothed))
+    return out.astype(np.float32)
+
+
+def rope_cos_sin(inv_freq: jnp.ndarray, positions: jnp.ndarray):
+    """positions: (B, T) int -> cos/sin (B, T, head_dim)."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, d/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, H, T, D); HF rotate-half convention."""
+    cos = cos[:, None]   # (B, 1, T, D)
+    sin = sin[:, None]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rot * sin
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_backbone(key, cfg: BackboneConfig) -> dict:
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    layers = []
+    for _ in range(cfg.num_layers):
+        key, *ks = jax.random.split(key, 10)
+        if cfg.is_gpt:
+            layers.append({
+                "ln1": nn.layer_norm_init(D),
+                "qkv": nn.linear_init(ks[0], D, 3 * D),
+                "attn_out": nn.linear_init(ks[1], D, D),
+                "ln2": nn.layer_norm_init(D),
+                "fc_in": nn.linear_init(ks[2], D, I),
+                "fc_out": nn.linear_init(ks[3], I, D),
+            })
+        else:
+            H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+            layers.append({
+                "input_ln": nn.rms_norm_init(D),
+                "q": nn.linear_init(ks[0], D, H * hd, bias=False),
+                "k": nn.linear_init(ks[1], D, KV * hd, bias=False),
+                "v": nn.linear_init(ks[2], D, KV * hd, bias=False),
+                "o": nn.linear_init(ks[3], H * hd, D, bias=False),
+                "post_ln": nn.rms_norm_init(D),
+                "gate": nn.linear_init(ks[4], D, I, bias=False),
+                "up": nn.linear_init(ks[5], D, I, bias=False),
+                "down": nn.linear_init(ks[6], I, D, bias=False),
+            })
+    params = {"layers": layers}
+    if cfg.is_gpt:
+        key, k1 = jax.random.split(key)
+        params["wpe"] = nn.embedding_init(k1, cfg.max_positions, D, std=0.01)
+        params["ln_f"] = nn.layer_norm_init(D)
+    else:
+        params["norm"] = nn.rms_norm_init(D)
+    return params
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray   # (L, B, H_kv, T_max, head_dim)
+    v: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, cfg: BackboneConfig, batch: int, max_len: int,
+              dtype=jnp.bfloat16) -> "KVCache":
+        kv_heads = cfg.num_kv_heads if not cfg.is_gpt else cfg.num_heads
+        shape = (cfg.num_layers, batch, kv_heads, max_len, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray):
+    """cache_layer (B, H, Tmax, D) <- new (B, H, t, D) at per-row offset start (B,)."""
+    def upd(c, n, s):
+        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+    return jax.vmap(upd)(cache_layer, new.astype(cache_layer.dtype), start)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _gpt2_attn(lp, x, cfg: BackboneConfig, cache_k, cache_v, start, kv_mask):
+    qkv = nn.linear(lp["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = nn.split_heads(q, cfg.num_heads)
+    k = nn.split_heads(k, cfg.num_heads)
+    v = nn.split_heads(v, cfg.num_heads)
+    cache_k = _write_cache(cache_k, k, start)
+    cache_v = _write_cache(cache_v, v, start)
+    out = nn.mha(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), mask=kv_mask)
+    return nn.linear(lp["attn_out"], nn.merge_heads(out)), cache_k, cache_v
+
+
+def _llama_attn(lp, x, cfg: BackboneConfig, cos, sin, cache_k, cache_v, start, kv_mask):
+    q = nn.split_heads(nn.linear(lp["q"], x), cfg.num_heads)
+    k = nn.split_heads(nn.linear(lp["k"], x), cfg.num_kv_heads)
+    v = nn.split_heads(nn.linear(lp["v"], x), cfg.num_kv_heads)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    cache_k = _write_cache(cache_k, k, start)
+    cache_v = _write_cache(cache_v, v, start)
+    ck, cv = cache_k.astype(q.dtype), cache_v.astype(q.dtype)
+    if cfg.num_kv_heads != cfg.num_heads:
+        rep = cfg.num_heads // cfg.num_kv_heads
+        ck = jnp.repeat(ck, rep, axis=1)
+        cv = jnp.repeat(cv, rep, axis=1)
+    out = nn.mha(q, ck, cv, mask=kv_mask)
+    return nn.linear(lp["o"], nn.merge_heads(out)), cache_k, cache_v
+
+
+def backbone_apply(params: dict, cfg: BackboneConfig, embeds: jnp.ndarray,
+                   positions: jnp.ndarray, cache: KVCache, start: jnp.ndarray,
+                   kv_mask: jnp.ndarray):
+    """Run the transformer over `embeds` (B, t, D), writing K/V into `cache`
+    at per-row offset `start` (B,), attending under `kv_mask`
+    (bool, broadcastable to (B, 1, t, T_max)).
+
+    Used for both prefill (t = padded prefix length, start = 0) and decode
+    (t = 1, start = current length). Returns (hidden, new_cache).
+    """
+    x = embeds
+    if cfg.is_gpt:
+        pos_emb = jnp.take(params["wpe"]["w"], positions, axis=0).astype(x.dtype)
+        x = x + pos_emb
+        cos = sin = None
+    else:
+        inv_freq = jnp.asarray(llama3_inv_freq(cfg))
+        cos, sin = rope_cos_sin(inv_freq, positions)
+        cos = cos.astype(x.dtype)
+        sin = sin.astype(x.dtype)
+
+    new_k, new_v = [], []
+    for i, lp in enumerate(params["layers"]):
+        if cfg.is_gpt:
+            h = nn.layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
+            attn, ck, cv = _gpt2_attn(lp, h, cfg, cache.k[i], cache.v[i], start, kv_mask)
+            x = x + attn
+            h = nn.layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
+            x = x + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], h)))
+        else:
+            h = nn.rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+            attn, ck, cv = _llama_attn(lp, h, cfg, cos, sin, cache.k[i], cache.v[i],
+                                       start, kv_mask)
+            x = x + attn
+            h = nn.rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+            x = x + nn.linear(lp["down"], nn.silu(nn.linear(lp["gate"], h)) * nn.linear(lp["up"], h))
+        new_k.append(ck)
+        new_v.append(cv)
+
+    if cfg.is_gpt:
+        x = nn.layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    else:
+        x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return x, KVCache(jnp.stack(new_k), jnp.stack(new_v))
+
+
+def prefill_mask(t: int, t_max: int, lens: jnp.ndarray) -> jnp.ndarray:
+    """Causal + length mask for prefill: (B, 1, t, t_max)."""
+    q_pos = jnp.arange(t)[:, None]
+    k_pos = jnp.arange(t_max)[None, :]
+    causal = k_pos <= q_pos                       # (t, t_max)
+    valid = k_pos[None] < lens[:, None, None]     # (B, t, t_max)
+    return (causal[None] & valid)[:, None]
+
+
+def decode_mask(t_max: int, cur_len: jnp.ndarray) -> jnp.ndarray:
+    """Key mask for a single decode step at position cur_len: (B, 1, 1, t_max)."""
+    k_pos = jnp.arange(t_max)[None, :]
+    return (k_pos <= cur_len[:, None])[:, None, None]

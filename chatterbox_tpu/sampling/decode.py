@@ -1,0 +1,160 @@
+"""T3 decode engine: prefill + token-at-a-time `lax.while_loop`, fully
+on-device.
+
+This replaces the reference's host-side python loop over HF model calls
+(ref: models/t3/t3.py:325-390 for the CFG path, t3.py:392-468 for Turbo)
+with a single jitted program:
+
+  * the padded prefix [cond | text | BOS] is packed densely (BOS placed at a
+    dynamic offset inside a bucketed buffer) so cache positions match the
+    reference's unpadded sequence exactly;
+  * the KV cache is preallocated at (prefix_bucket + max_new_tokens) and
+    updated in place (XLA donation) — no per-step reallocation;
+  * CFG runs as batch 2 in the same forward (cond row 0, uncond row 1 with
+    zeroed text embeddings — ref: t3.py:113-114, 310);
+  * sampling (rep-penalty / temperature / min-p / top-p / top-k +
+    categorical) is on-device (ops/sampling.py), with the repetition history
+    tracked in a vocab-sized "seen" buffer;
+  * the loop exits early on EOS via the while-loop condition
+    (ref EOS checks: t3.py:366-368, t3.py:459-460).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.t3 import backbone as bb
+from ..models.t3 import model as t3m
+from ..models.t3.config import T3Config
+from ..ops import sampling as S
+
+
+class GenResult(NamedTuple):
+    tokens: jnp.ndarray    # (max_new_tokens,) int32, stop-token padded
+    n_tokens: jnp.ndarray  # () int32 — number of generated tokens incl. EOS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode"),
+)
+def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
+                text_tokens: jnp.ndarray, text_len: jnp.ndarray,
+                sp: S.SamplerParams, key,
+                *, max_new_tokens: int = 1000, top_k: int = 0,
+                cfg_mode: bool = True) -> GenResult:
+    """Generate speech tokens for one utterance.
+
+    Args:
+      text_tokens: (1, Lt_bucket) int32, SOT/EOT framed, right-padded.
+      text_len: () int32 — true length including SOT/EOT.
+      cfg_mode: True → 520M CFG pipeline (batch-2, rep→temp→min_p→top_p);
+                False → Turbo pipeline (batch-1, temp→top_k→top_p→rep).
+    """
+    cfg = hp.backbone
+    Lc = t3m.cond_len(hp)
+    Ltp = text_tokens.shape[1]
+    B = 2 if cfg_mode else 1
+    P_pad = Lc + Ltp + 1
+    t_max = P_pad + max_new_tokens
+    V = hp.speech_tokens_dict_size
+
+    # ---- build the packed prefix -----------------------------------------
+    ce = t3m.cond_embeds(params, hp, cond)                    # (1, Lc, D)
+    ce = jnp.broadcast_to(ce, (B,) + ce.shape[1:])
+    tokens_b = jnp.broadcast_to(text_tokens, (B, Ltp))
+    te = jnp.take(params["text_emb"]["w"], tokens_b, axis=0)  # (B, Ltp, D)
+    if cfg_mode:
+        # uncond row: zero the text token embeddings (ref: t3.py:113-114)
+        te = te * jnp.array([1.0, 0.0])[:, None, None]
+    if hp.input_pos_emb == "learned":
+        te = te + jnp.take(params["text_pos_emb"]["w"], jnp.arange(Ltp), axis=0)
+
+    bos = t3m.speech_embed_token(
+        params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
+        jnp.zeros((), jnp.int32))                             # (B, 1, D)
+
+    x = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)  # (B, P_pad, D)
+    x = jax.lax.dynamic_update_slice(x, bos, (0, Lc + text_len, 0))
+
+    prefill_len = Lc + text_len + 1                            # dynamic scalar
+    lens = jnp.full((B,), prefill_len, jnp.int32)
+
+    # ---- prefill ----------------------------------------------------------
+    cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
+    mask = bb.prefill_mask(P_pad, t_max, lens)
+    positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
+    start0 = jnp.zeros((B,), jnp.int32)
+    hidden, cache = bb.backbone_apply(params["backbone"], cfg, x, positions,
+                                      cache, start0, mask)
+    last_h = jnp.take_along_axis(
+        hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
+    logits0 = t3m.speech_logits(params, last_h)                # (B, V)
+
+    # ---- decode loop -------------------------------------------------------
+    start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
+    seen0 = start_onehot if cfg_mode else jnp.zeros((V,), jnp.bool_)
+
+    class _State(NamedTuple):
+        step: jnp.ndarray
+        logits: jnp.ndarray
+        cache: bb.KVCache
+        seen: jnp.ndarray
+        tokens: jnp.ndarray
+        done: jnp.ndarray
+        key: jnp.ndarray
+
+    init = _State(
+        step=jnp.zeros((), jnp.int32),
+        logits=logits0.astype(jnp.float32),
+        cache=cache,
+        seen=seen0,
+        tokens=jnp.full((max_new_tokens,), hp.stop_speech_token, jnp.int32),
+        done=jnp.zeros((), jnp.bool_),
+        key=key,
+    )
+
+    def cond_fn(s: _State):
+        return (s.step < max_new_tokens) & ~s.done
+
+    def body_fn(s: _State):
+        key, sub = jax.random.split(s.key)
+        if cfg_mode:
+            logits = S.process_logits_cfg(s.logits[0], s.logits[1], s.seen, sp)
+        else:
+            # turbo penalizes only the start token on step 0, then only
+            # generated tokens (ref: t3.py:428, 448-449)
+            pen_mask = s.seen | (start_onehot & (s.step == 0))
+            logits = S.process_logits_turbo(s.logits[0], pen_mask, sp, top_k)
+        token = S.sample_categorical(sub, logits).astype(jnp.int32)
+
+        tokens = s.tokens.at[s.step].set(token)
+        seen = s.seen.at[token].set(True)
+        done = token == hp.stop_speech_token
+
+        emb = t3m.speech_embed_token(
+            params, hp, jnp.full((B,), token, jnp.int32), s.step + 1)
+        pos_now = prefill_len + s.step
+        cur = jnp.full((B,), pos_now, jnp.int32)
+        mask = bb.decode_mask(t_max, cur)
+        hidden, cache = bb.backbone_apply(params["backbone"], cfg, emb,
+                                          cur[:, None], s.cache, cur, mask)
+        logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
+        return _State(s.step + 1, logits_new, cache, seen, tokens, done, key)
+
+    final = jax.lax.while_loop(cond_fn, body_fn, init)
+    return GenResult(tokens=final.tokens, n_tokens=final.step)
+
+
+# text-length buckets: one compile per bucket (kept coarse to limit recompiles)
+TEXT_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+
+def text_bucket(n: int) -> int:
+    for b in TEXT_BUCKETS:
+        if n <= b:
+            return b
+    return TEXT_BUCKETS[-1]

@@ -1,0 +1,73 @@
+"""Decode-engine tests on tiny configs (CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chatterbox_tpu.models.t3.config import T3Config
+from chatterbox_tpu.models.t3 import model as t3m
+from chatterbox_tpu.sampling.decode import t3_generate, text_bucket
+from chatterbox_tpu.ops.sampling import SamplerParams
+
+
+def _setup(family):
+    hp = T3Config.tiny_test(family)
+    key = jax.random.key(0)
+    params = t3m.t3_init(key, hp)
+    B = 1
+    cond = t3m.T3CondArrays(
+        speaker_emb=jax.random.normal(jax.random.key(1), (B, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((B, hp.speech_cond_prompt_len), jnp.int32),
+        emotion_adv=0.5 * jnp.ones((B, 1, 1)) if hp.emotion_adv else None,
+    )
+    return hp, params, cond
+
+
+class TestGenerate:
+    def test_turbo_mode_runs_and_is_deterministic(self):
+        hp, params, cond = _setup("gpt2")
+        text = jnp.pad(jnp.arange(1, 9, dtype=jnp.int32)[None], ((0, 0), (0, 8)))
+        r1 = t3_generate(params, hp, cond, text, jnp.asarray(8),
+                         SamplerParams.make(top_p=0.9, repetition_penalty=1.2),
+                         jax.random.key(42), max_new_tokens=16, top_k=50,
+                         cfg_mode=False)
+        r2 = t3_generate(params, hp, cond, text, jnp.asarray(8),
+                         SamplerParams.make(top_p=0.9, repetition_penalty=1.2),
+                         jax.random.key(42), max_new_tokens=16, top_k=50,
+                         cfg_mode=False)
+        toks1, n1 = np.asarray(r1.tokens), int(r1.n_tokens)
+        toks2 = np.asarray(r2.tokens)
+        np.testing.assert_array_equal(toks1, toks2)
+        assert 0 < n1 <= 16
+        assert (toks1 >= 0).all() and (toks1 < hp.speech_tokens_dict_size).all()
+
+    def test_cfg_mode_runs(self):
+        hp, params, cond = _setup("llama")
+        text = jnp.pad(jnp.arange(1, 7, dtype=jnp.int32)[None], ((0, 0), (0, 10)))
+        r = t3_generate(params, hp, cond, text, jnp.asarray(6),
+                        SamplerParams.make(cfg_weight=0.5),
+                        jax.random.key(7), max_new_tokens=12, cfg_mode=True)
+        n = int(r.n_tokens)
+        assert 0 < n <= 12
+        toks = np.asarray(r.tokens)
+        assert (toks >= 0).all() and (toks < hp.speech_tokens_dict_size).all()
+
+    def test_padding_invariance(self):
+        """Same text in a larger bucket must produce identical tokens —
+        guarantees the dense-packing scheme ignores pad garbage."""
+        hp, params, cond = _setup("gpt2")
+        base = jnp.arange(1, 9, dtype=jnp.int32)[None]
+        sp = SamplerParams.make(top_p=0.9)
+        outs = []
+        for pad in (4, 12):
+            text = jnp.pad(base, ((0, 0), (0, pad)))
+            r = t3_generate(params, hp, cond, text, jnp.asarray(8), sp,
+                            jax.random.key(3), max_new_tokens=10, top_k=50,
+                            cfg_mode=False)
+            outs.append((np.asarray(r.tokens), int(r.n_tokens)))
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        assert outs[0][1] == outs[1][1]
+
+    def test_text_bucket(self):
+        assert text_bucket(5) == 32
+        assert text_bucket(33) == 64
+        assert text_bucket(2048) == 2048

@@ -1,0 +1,468 @@
+"""Public pipeline API: ChatterboxTTS / ChatterboxTurboTTS /
+ChatterboxMultilingualTTS / ChatterboxVC.
+
+Drop-in behavioral equivalents of the reference pipelines
+(ref: tts.py, tts_turbo.py, mtl_tts.py, vc.py) over the TPU engines:
+  * T3 sampling = one jitted on-device while_loop (sampling/decode.py)
+  * S3Gen = bucketed jitted flow + vocoder programs (models/s3gen/model.py)
+  * host side keeps only tokenization, file IO, watermarking, and length
+    bookkeeping.
+
+Weights load from the reference's checkpoint files through convert/ (torch
+safetensors → JAX pytrees). `random_init` constructors exist for
+benchmarking/testing without checkpoints.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.t3.config import T3Config
+from ..models.t3 import model as t3m
+from ..models.s3gen.model import S3GenEngine, s3gen_init, RefDict, S3GEN_SR, S3_SR
+from ..models.s3gen.flow import FlowDims
+from ..models.s3tok.model import S3TokenizerConfig, SPEECH_VOCAB_SIZE
+from ..models.ve import model as ve
+from ..sampling.decode import t3_generate, text_bucket
+from ..ops.sampling import SamplerParams
+from ..text.tokenizer import EnTokenizer, MTLTokenizer, punc_norm
+from ..utils.watermark import Watermarker
+from ..utils.loudness import norm_loudness
+from ..utils.audio_io import load_audio
+from ..audio.resample import resample as _resample
+
+logger = logging.getLogger(__name__)
+
+S3GEN_SIL = 4299   # ref: models/s3gen/const.py:2
+
+# Supported languages for the multilingual model (ref: mtl_tts.py:31-55)
+SUPPORTED_LANGUAGES = {
+    "ar": "Arabic", "da": "Danish", "de": "German", "el": "Greek",
+    "en": "English", "es": "Spanish", "fi": "Finnish", "fr": "French",
+    "he": "Hebrew", "hi": "Hindi", "it": "Italian", "ja": "Japanese",
+    "ko": "Korean", "ms": "Malay", "nl": "Dutch", "no": "Norwegian",
+    "pl": "Polish", "pt": "Portuguese", "ru": "Russian", "sv": "Swedish",
+    "sw": "Swahili", "tr": "Turkish", "zh": "Chinese",
+}
+
+MULTILINGUAL_T3_MODELS = {
+    "v2": "t3_mtl23ls_v2.safetensors",
+    "t3_mtl23ls_v2": "t3_mtl23ls_v2.safetensors",
+    "v3": "t3_mtl23ls_v3.safetensors",
+    "t3_mtl23ls_v3": "t3_mtl23ls_v3.safetensors",
+}
+
+
+@dataclasses.dataclass
+class T3CondHost:
+    """Host-side T3 conditioning (mirrors the reference T3Cond dataclass,
+    ref: models/t3/modules/cond_enc.py:11-38)."""
+    speaker_emb: np.ndarray
+    cond_prompt_speech_tokens: Optional[np.ndarray] = None
+    emotion_adv: float = 0.5
+
+    def as_arrays(self) -> t3m.T3CondArrays:
+        return t3m.T3CondArrays(
+            speaker_emb=jnp.asarray(self.speaker_emb),
+            cond_prompt_speech_tokens=(None if self.cond_prompt_speech_tokens is None
+                                       else jnp.asarray(self.cond_prompt_speech_tokens)),
+            emotion_adv=jnp.full((1, 1, 1), self.emotion_adv),
+        )
+
+
+@dataclasses.dataclass
+class Conditionals:
+    """(T3 conditioning, S3Gen ref_dict) bundle (ref: tts.py:64-103)."""
+    t3: T3CondHost
+    gen: RefDict
+
+    def save(self, fpath):
+        np.savez(fpath,
+                 speaker_emb=self.t3.speaker_emb,
+                 cond_prompt_speech_tokens=self.t3.cond_prompt_speech_tokens,
+                 emotion_adv=np.float32(self.t3.emotion_adv),
+                 prompt_token=self.gen.prompt_token,
+                 prompt_token_len=self.gen.prompt_token_len,
+                 prompt_feat=self.gen.prompt_feat,
+                 embedding=self.gen.embedding)
+
+    @classmethod
+    def load(cls, fpath):
+        fpath = str(fpath)
+        if fpath.endswith(".pt"):
+            from ..convert.weights import load_conds_pt
+            return load_conds_pt(fpath)
+        z = np.load(fpath)
+        return cls(
+            T3CondHost(z["speaker_emb"], z["cond_prompt_speech_tokens"],
+                       float(z["emotion_adv"])),
+            RefDict(z["prompt_token"], z["prompt_token_len"], z["prompt_feat"],
+                    z["embedding"]),
+        )
+
+
+def drop_invalid_tokens_sliced(tokens: np.ndarray, sos: int = 6561,
+                               eos: int = 6562) -> np.ndarray:
+    """The s3tokenizer-package variant: slice between SOS and EOS
+    (ref: models/s3tokenizer/__init__.py:11-30)."""
+    tokens = np.asarray(tokens).reshape(-1)
+    sos_idx = np.nonzero(tokens == sos)[0]
+    start = int(sos_idx[0]) + 1 if len(sos_idx) else 0
+    eos_idx = np.nonzero(tokens == eos)[0]
+    end = int(eos_idx[0]) if len(eos_idx) else len(tokens)
+    return tokens[start:end]
+
+
+def _frame_text_tokens(ids: np.ndarray, hp: T3Config) -> tuple[np.ndarray, int]:
+    """SOT/EOT framing + bucketing (ref: tts.py:240-243)."""
+    ids = np.asarray(ids).reshape(-1)
+    framed = np.concatenate([[hp.start_text_token], ids, [hp.stop_text_token]])
+    n = len(framed)
+    bucket = text_bucket(n)
+    out = np.zeros(bucket, np.int32)
+    out[:n] = framed
+    return out[None], n
+
+
+class _TTSBase:
+    """Shared machinery for the three TTS pipelines."""
+
+    def __init__(self, t3_params, hp: T3Config, s3gen: S3GenEngine,
+                 ve_params, tokenizer, conds: Optional[Conditionals],
+                 seed: int = 0):
+        self.sr = S3GEN_SR
+        self.t3_params = t3_params
+        self.hp = hp
+        self.s3gen = s3gen
+        self.ve_params = ve_params
+        self.tokenizer = tokenizer
+        self.conds = conds
+        self.watermarker = Watermarker()
+        self._key = jax.random.key(seed)
+
+    # --- RNG ------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def set_seed(self, seed: int):
+        self._key = jax.random.key(seed)
+
+    # --- conditioning ----------------------------------------------------
+    ENC_COND_SEC = 6          # ref: tts.py:107 (6 s); Turbo overrides to 15
+    DEC_COND_SEC = 10         # ref: tts.py:108
+
+    def prepare_conditionals(self, wav_fpath, exaggeration: float = 0.5):
+        """(ref: tts.py:182-206)"""
+        ref_24k = load_audio(wav_fpath, S3GEN_SR)
+        self._prepare_from_wav(ref_24k, exaggeration)
+
+    def _prepare_from_wav(self, ref_24k: np.ndarray, exaggeration: float):
+        ref_16k = np.asarray(_resample(jnp.asarray(ref_24k), S3GEN_SR, S3_SR))
+        gen_ref = self.s3gen.embed_ref(ref_24k[: self.DEC_COND_SEC * S3GEN_SR], S3GEN_SR)
+
+        t3_tokens = None
+        if self.hp.speech_cond_prompt_len:
+            plen = self.hp.speech_cond_prompt_len
+            t3_tokens, _ = self.s3gen.tokenize(
+                ref_16k[: self.ENC_COND_SEC * S3_SR], max_len=plen)
+            # pad/trim to the static conditioning length
+            padded = np.zeros((1, plen), np.int32)
+            n = min(t3_tokens.shape[1], plen)
+            padded[0, :n] = t3_tokens[0, :n]
+            t3_tokens = padded
+
+        ve_embed = ve.embeds_from_wavs(self.ve_params, [ref_16k], sample_rate=S3_SR)
+        ve_embed = ve_embed.mean(axis=0, keepdims=True)
+
+        self.conds = Conditionals(
+            T3CondHost(ve_embed, t3_tokens, exaggeration), gen_ref)
+
+    # --- common generation tail -------------------------------------------
+    def _tokens_to_wav(self, speech_tokens: np.ndarray,
+                       n_timesteps: Optional[int] = None) -> np.ndarray:
+        wav = self.s3gen.inference(speech_tokens, self.conds.gen,
+                                   self._next_key(), n_timesteps=n_timesteps)
+        wav = wav[0]
+        return self.watermarker.apply_watermark(np.asarray(wav), sample_rate=self.sr)
+
+
+class ChatterboxTTS(_TTSBase):
+    """English 520M CFG pipeline (ref: tts.py:106-272)."""
+
+    @classmethod
+    def random_init(cls, key=None, hp: Optional[T3Config] = None,
+                    flow_dims: FlowDims = FlowDims(),
+                    tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
+                    hift_base: int = 512, tokenizer=None):
+        key = key if key is not None else jax.random.key(0)
+        hp = hp or T3Config.english_only()
+        k1, k2, k3 = jax.random.split(key, 3)
+        t3_params = t3m.t3_init(k1, hp)
+        s3 = S3GenEngine(s3gen_init(k2, tok_cfg=tok_cfg, dims=flow_dims,
+                                    hift_base=hift_base),
+                         tok_cfg=tok_cfg, dims=flow_dims)
+        ve_params = ve.ve_init(k3)
+        return cls(t3_params, hp, s3, ve_params, tokenizer, conds=None)
+
+    @classmethod
+    def from_local(cls, ckpt_dir, device=None) -> "ChatterboxTTS":
+        from ..convert.weights import load_english_tts
+        return load_english_tts(cls, Path(ckpt_dir))
+
+    @classmethod
+    def from_pretrained(cls, device=None) -> "ChatterboxTTS":
+        from ..convert.weights import download_repo
+        return cls.from_local(download_repo("ResembleAI/chatterbox",
+                                            ["ve.safetensors", "t3_cfg.safetensors",
+                                             "s3gen.safetensors", "tokenizer.json",
+                                             "conds.pt"]))
+
+    def generate(self, text, repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+                 audio_prompt_path=None, exaggeration=0.5, cfg_weight=0.5,
+                 temperature=0.8, max_new_tokens=1000):
+        """(ref: tts.py:208-272)"""
+        if audio_prompt_path:
+            self.prepare_conditionals(audio_prompt_path, exaggeration=exaggeration)
+        else:
+            assert self.conds is not None, \
+                "Please `prepare_conditionals` first or specify `audio_prompt_path`"
+        if exaggeration != self.conds.t3.emotion_adv:
+            self.conds.t3.emotion_adv = exaggeration
+
+        text = punc_norm(text)
+        ids = self.tokenizer.text_to_tokens(text)
+        text_tokens, n_text = _frame_text_tokens(ids, self.hp)
+
+        sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
+                                repetition_penalty=repetition_penalty,
+                                cfg_weight=cfg_weight)
+        res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                          jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
+                          self._next_key(), max_new_tokens=max_new_tokens,
+                          cfg_mode=True)
+        n = int(res.n_tokens)
+        tokens = np.asarray(res.tokens)[:n]
+        tokens = drop_invalid_tokens_sliced(tokens)          # ref: tts.py:260
+        tokens = tokens[tokens < SPEECH_VOCAB_SIZE]          # ref: tts.py:262
+        if len(tokens) == 0:
+            tokens = np.array([S3GEN_SIL], np.int32)
+        wav = self._tokens_to_wav(tokens[None])
+        return wav[None]
+
+
+class ChatterboxTurboTTS(_TTSBase):
+    """Turbo/Nano GPT-2 pipeline (ref: tts_turbo.py:111-320)."""
+
+    ENC_COND_SEC = 15        # ref: tts_turbo.py:112
+
+    def __init__(self, *args, model_label="Turbo", **kw):
+        super().__init__(*args, **kw)
+        self.model_label = model_label
+
+    @classmethod
+    def random_init(cls, key=None, nano=False,
+                    flow_dims: FlowDims = FlowDims(),
+                    tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
+                    hift_base: int = 512, tokenizer=None, hp=None):
+        key = key if key is not None else jax.random.key(0)
+        hp = hp or (T3Config.nano() if nano else T3Config.turbo())
+        k1, k2, k3 = jax.random.split(key, 3)
+        t3_params = t3m.t3_init(k1, hp)
+        s3 = S3GenEngine(s3gen_init(k2, meanflow=True, tok_cfg=tok_cfg,
+                                    dims=flow_dims, hift_base=hift_base),
+                         meanflow=True, tok_cfg=tok_cfg, dims=flow_dims)
+        ve_params = ve.ve_init(k3)
+        return cls(t3_params, hp, s3, ve_params, tokenizer, conds=None,
+                   model_label="Nano" if nano else "Turbo")
+
+    @classmethod
+    def from_local(cls, ckpt_dir, device=None, nano=False) -> "ChatterboxTurboTTS":
+        from ..convert.weights import load_turbo_tts
+        return load_turbo_tts(cls, Path(ckpt_dir), nano=nano)
+
+    @classmethod
+    def from_pretrained(cls, device=None, nano=False) -> "ChatterboxTurboTTS":
+        from ..convert.weights import download_repo
+        repo = "ResembleAI/chatterbox-nano" if nano else "ResembleAI/chatterbox-turbo"
+        return cls.from_local(download_repo(repo, None), nano=nano)
+
+    def norm_loudness(self, wav, sr, target_lufs=-27):
+        return norm_loudness(wav, sr, target_lufs)
+
+    def prepare_conditionals(self, wav_fpath, exaggeration=0.5, norm_loudness=True):
+        """(ref: tts_turbo.py:241-270): >5 s assert + −27 LUFS normalization."""
+        ref_24k = load_audio(wav_fpath, S3GEN_SR)
+        assert len(ref_24k) / S3GEN_SR > 5.0, "Audio prompt must be longer than 5 seconds!"
+        if norm_loudness:
+            ref_24k = self.norm_loudness(ref_24k, S3GEN_SR)
+        self._prepare_from_wav(ref_24k, exaggeration)
+
+    def generate(self, text, repetition_penalty=1.2, min_p=0.00, top_p=0.95,
+                 audio_prompt_path=None, exaggeration=0.0, cfg_weight=0.0,
+                 temperature=0.8, top_k=1000, norm_loudness=True,
+                 max_new_tokens=1000):
+        """(ref: tts_turbo.py:272-320)"""
+        if audio_prompt_path:
+            self.prepare_conditionals(audio_prompt_path, exaggeration=exaggeration,
+                                      norm_loudness=norm_loudness)
+        else:
+            assert self.conds is not None, \
+                "Please `prepare_conditionals` first or specify `audio_prompt_path`"
+        if cfg_weight > 0.0 or exaggeration > 0.0 or min_p > 0.0:
+            logger.warning(f"CFG, min_p and exaggeration are not supported by the "
+                           f"{self.model_label} version and will be ignored.")
+
+        text = punc_norm(text, variant="turbo")
+        # the reference passes raw GPT-2 BPE ids (no SOT/EOT framing,
+        # ref: tts_turbo.py:295-296) — match that
+        ids = np.asarray(self.tokenizer.text_to_tokens(text)).reshape(-1)
+        bucket = text_bucket(len(ids))
+        text_tokens = np.zeros((1, bucket), np.int32)
+        text_tokens[0, : len(ids)] = ids
+
+        sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
+                                repetition_penalty=repetition_penalty, cfg_weight=0.0)
+        res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                          jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
+                          self._next_key(), max_new_tokens=max_new_tokens,
+                          top_k=top_k, cfg_mode=False)
+        n = int(res.n_tokens)
+        tokens = np.asarray(res.tokens)[:n]
+        tokens = tokens[tokens < SPEECH_VOCAB_SIZE]          # ref: tts_turbo.py:308
+        tokens = np.concatenate([tokens, [S3GEN_SIL] * 3])   # ref: tts_turbo.py:310-311
+        wav = self._tokens_to_wav(tokens[None], n_timesteps=2)
+        return wav[None]
+
+
+class ChatterboxMultilingualTTS(_TTSBase):
+    """23-language pipeline (ref: mtl_tts.py:155-355)."""
+
+    @classmethod
+    def get_supported_languages(cls):
+        return SUPPORTED_LANGUAGES.copy()
+
+    @classmethod
+    def random_init(cls, key=None, flow_dims: FlowDims = FlowDims(),
+                    tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
+                    hift_base: int = 512, tokenizer=None, hp=None):
+        key = key if key is not None else jax.random.key(0)
+        hp = hp or T3Config.multilingual()
+        k1, k2, k3 = jax.random.split(key, 3)
+        t3_params = t3m.t3_init(k1, hp)
+        s3 = S3GenEngine(s3gen_init(k2, tok_cfg=tok_cfg, dims=flow_dims,
+                                    hift_base=hift_base),
+                         tok_cfg=tok_cfg, dims=flow_dims)
+        ve_params = ve.ve_init(k3)
+        return cls(t3_params, hp, s3, ve_params, tokenizer, conds=None)
+
+    @classmethod
+    def from_local(cls, ckpt_dir, device=None, t3_model: str | None = None):
+        from ..convert.weights import load_mtl_tts
+        return load_mtl_tts(cls, Path(ckpt_dir), t3_model=t3_model)
+
+    @classmethod
+    def from_pretrained(cls, device=None, t3_model: str | None = None):
+        from ..convert.weights import download_repo
+        return cls.from_local(download_repo("ResembleAI/chatterbox", None),
+                              t3_model=t3_model)
+
+    def generate(self, text, language_id, audio_prompt_path=None,
+                 exaggeration=0.5, cfg_weight=0.5, temperature=0.8,
+                 repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+                 max_new_tokens=1000):
+        """(ref: mtl_tts.py:280-355)"""
+        if language_id and language_id.lower() not in SUPPORTED_LANGUAGES:
+            supported = ", ".join(SUPPORTED_LANGUAGES)
+            raise ValueError(f"Unsupported language_id '{language_id}'. "
+                             f"Supported languages: {supported}")
+        if audio_prompt_path:
+            self.prepare_conditionals(audio_prompt_path, exaggeration=exaggeration)
+        else:
+            assert self.conds is not None, \
+                "Please `prepare_conditionals` first or specify `audio_prompt_path`"
+        if float(exaggeration) != float(self.conds.t3.emotion_adv):
+            self.conds.t3.emotion_adv = float(exaggeration)
+
+        text = punc_norm(text, variant="mtl")
+        ids = self.tokenizer.text_to_tokens(
+            text, language_id=language_id.lower() if language_id else None)
+        text_tokens, n_text = _frame_text_tokens(ids, self.hp)
+
+        sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
+                                repetition_penalty=repetition_penalty,
+                                cfg_weight=cfg_weight)
+        res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                          jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
+                          self._next_key(), max_new_tokens=max_new_tokens,
+                          cfg_mode=True)
+        n = int(res.n_tokens)
+        tokens = drop_invalid_tokens_sliced(np.asarray(res.tokens)[:n])
+        tokens = tokens[tokens < SPEECH_VOCAB_SIZE]
+        if len(tokens) == 0:
+            tokens = np.array([S3GEN_SIL], np.int32)
+        wav = self._tokens_to_wav(tokens[None])
+        # drop the final token's ~40 ms (ref: mtl_tts.py:348-352)
+        st_len = max(1, len(tokens) - 1)
+        wav = wav[: st_len * (S3GEN_SR // 25)]
+        return wav[None]
+
+
+class ChatterboxVC:
+    """Voice conversion (ref: vc.py:16-104)."""
+
+    def __init__(self, s3gen: S3GenEngine, ref_dict: Optional[RefDict] = None,
+                 seed: int = 0):
+        self.sr = S3GEN_SR
+        self.s3gen = s3gen
+        self.ref_dict = ref_dict
+        self.watermarker = Watermarker()
+        self._key = jax.random.key(seed)
+
+    @classmethod
+    def random_init(cls, key=None, flow_dims: FlowDims = FlowDims(),
+                    tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
+                    hift_base: int = 512):
+        key = key if key is not None else jax.random.key(0)
+        s3 = S3GenEngine(s3gen_init(key, tok_cfg=tok_cfg, dims=flow_dims,
+                                    hift_base=hift_base),
+                         tok_cfg=tok_cfg, dims=flow_dims)
+        return cls(s3)
+
+    @classmethod
+    def from_local(cls, ckpt_dir, device=None) -> "ChatterboxVC":
+        from ..convert.weights import load_vc
+        return load_vc(cls, Path(ckpt_dir))
+
+    @classmethod
+    def from_pretrained(cls, device=None) -> "ChatterboxVC":
+        from ..convert.weights import download_repo
+        return cls.from_local(download_repo("ResembleAI/chatterbox",
+                                            ["s3gen.safetensors", "conds.pt"]))
+
+    def set_target_voice(self, wav_fpath):
+        ref = load_audio(wav_fpath, S3GEN_SR)
+        self.ref_dict = self.s3gen.embed_ref(ref[: 10 * S3GEN_SR], S3GEN_SR)
+
+    def generate(self, audio, target_voice_path=None):
+        """(ref: vc.py:83-104)"""
+        if target_voice_path:
+            self.set_target_voice(target_voice_path)
+        else:
+            assert self.ref_dict is not None, \
+                "Please `prepare_conditionals` first or specify `target_voice_path`"
+        if isinstance(audio, (str, Path)):
+            audio_16 = load_audio(audio, S3_SR)
+        else:
+            audio_16 = np.asarray(audio, np.float32).reshape(-1)
+        tokens, _ = self.s3gen.tokenize(audio_16)
+        self._key, k = jax.random.split(self._key)
+        wav = self.s3gen.inference(tokens, self.ref_dict, k)[0]
+        wav = self.watermarker.apply_watermark(np.asarray(wav), sample_rate=self.sr)
+        return wav[None]

@@ -10,6 +10,7 @@ carried as scalars with masks, so one compiled program serves a bucket.
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax
@@ -28,14 +29,41 @@ TOKEN_MEL_RATIO = 2          # ref: flow.py:52
 PRE_LOOKAHEAD_LEN = 3        # ref: flow.py:53
 
 
-def flow_init(key, meanflow: bool = False) -> dict:
+@dataclass(frozen=True)
+class FlowDims:
+    """Architecture sizes (defaults = the reference S3Gen,
+    ref: s3gen.py:64-93)."""
+    enc_dim: int = 512
+    enc_heads: int = 8
+    enc_ff: int = 2048
+    enc_blocks: int = 6
+    enc_up_blocks: int = 4
+    unet_channels: int = 256
+    unet_blocks: int = 4
+    unet_mid: int = 12
+    unet_heads: int = 8
+    unet_head_dim: int = 64
+
+    @classmethod
+    def tiny_test(cls):
+        return cls(enc_dim=32, enc_heads=2, enc_ff=64, enc_blocks=1,
+                   enc_up_blocks=1, unet_channels=16, unet_blocks=1,
+                   unet_mid=1, unet_heads=2, unet_head_dim=8)
+
+
+def flow_init(key, meanflow: bool = False, dims: FlowDims = FlowDims()) -> dict:
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     return {
-        "input_embedding": nn.embedding_init(k1, VOCAB_SIZE, INPUT_SIZE),
+        "input_embedding": nn.embedding_init(k1, VOCAB_SIZE, dims.enc_dim),
         "spk_embed_affine": nn.linear_init(k2, SPK_EMBED_DIM, OUTPUT_SIZE),
-        "encoder": upsample_encoder_init(k3),
-        "encoder_proj": nn.linear_init(k4, INPUT_SIZE, OUTPUT_SIZE),
-        "decoder": unet_init(k5, meanflow=meanflow),
+        "encoder": upsample_encoder_init(k3, d=dims.enc_dim, n_heads=dims.enc_heads,
+                                         ff=dims.enc_ff, n_blocks=dims.enc_blocks,
+                                         n_up_blocks=dims.enc_up_blocks),
+        "encoder_proj": nn.linear_init(k4, dims.enc_dim, OUTPUT_SIZE),
+        "decoder": unet_init(k5, channels=dims.unet_channels,
+                             n_blocks=dims.unet_blocks, num_mid_blocks=dims.unet_mid,
+                             n_heads=dims.unet_heads, head_dim=dims.unet_head_dim,
+                             meanflow=meanflow),
     }
 
 
@@ -49,7 +77,8 @@ def flow_inference(params: dict, *,
                    n_timesteps: int = 10,
                    meanflow: bool = False,
                    noise: Optional[jnp.ndarray] = None,
-                   finalize: bool = True) -> jnp.ndarray:
+                   finalize: bool = True,
+                   dims: FlowDims = FlowDims()) -> jnp.ndarray:
     """Returns mels (B, 2*T_tok, 80); the valid generated region is
     [2*prompt_len, 2*token_len) per row (prompt region already part of the
     buffer — callers slice with these bounds).
@@ -70,7 +99,8 @@ def flow_inference(params: dict, *,
     x = nn.embedding(params["input_embedding"], token) * mask_tok[..., None]
 
     # conformer encode + 2× upsample (ref: flow.py:169)
-    h, h_lens = upsample_encoder_apply(params["encoder"], x, token_len)
+    h, h_lens = upsample_encoder_apply(params["encoder"], x, token_len,
+                                       d=dims.enc_dim, n_heads=dims.enc_heads)
     mu = nn.linear(params["encoder_proj"], h)                    # (B, 2T_tok, 80)
 
     T_mel = mu.shape[1]
@@ -88,5 +118,7 @@ def flow_inference(params: dict, *,
 
     mels = cfm_inference(params["decoder"], mu, mask_mel, spks, conds, key,
                          n_timesteps=n_timesteps, meanflow=meanflow,
-                         noise=noise, prompt_len=prompt_mel_len[0] if noise is not None else None)
+                         noise=noise,
+                         prompt_len=prompt_mel_len[0] if noise is not None else None,
+                         n_heads=dims.unet_heads)
     return mels

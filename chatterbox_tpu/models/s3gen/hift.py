@@ -83,18 +83,18 @@ def f0_predictor_apply(p: dict, mel: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(nn.linear(p["classifier"], x))[..., 0]
 
 
-def hift_init(key) -> dict:
+def hift_init(key, base_channels: int = BASE_CHANNELS) -> dict:
     ks = iter(jax.random.split(key, 64))
     p = {
-        "f0_predictor": f0_predictor_init(next(ks)),
+        "f0_predictor": f0_predictor_init(next(ks), ch=max(base_channels, 8)),
         "m_source_linear": nn.linear_init(next(ks), NB_HARMONICS + 1, 1),
-        "conv_pre": nn.conv1d_init(next(ks), 80, BASE_CHANNELS, 7),
+        "conv_pre": nn.conv1d_init(next(ks), 80, base_channels, 7),
         "ups": [], "source_downs": [], "source_resblocks": [], "resblocks": [],
     }
     down_cum = (15, 3, 1)
     for i, (u, k) in enumerate(zip(UPSAMPLE_RATES, UPSAMPLE_KERNELS)):
-        ch_out = BASE_CHANNELS // (2 ** (i + 1))
-        p["ups"].append(nn.conv_transpose1d_init(next(ks), BASE_CHANNELS // (2 ** i), ch_out, k))
+        ch_out = base_channels // (2 ** (i + 1))
+        p["ups"].append(nn.conv_transpose1d_init(next(ks), base_channels // (2 ** i), ch_out, k))
         dc = down_cum[i]
         if dc == 1:
             p["source_downs"].append(nn.conv1d_init(next(ks), ISTFT_NFFT + 2, ch_out, 1))
@@ -104,7 +104,7 @@ def hift_init(key) -> dict:
             _resblock_init(next(ks), ch_out, SOURCE_RES_KERNELS[i], RES_DILATIONS[i]))
         for k_r, d_r in zip(RES_KERNELS, RES_DILATIONS):
             p["resblocks"].append(_resblock_init(next(ks), ch_out, k_r, d_r))
-    p["conv_post"] = nn.conv1d_init(next(ks), BASE_CHANNELS // 8, ISTFT_NFFT + 2, 7)
+    p["conv_post"] = nn.conv1d_init(next(ks), base_channels // 8, ISTFT_NFFT + 2, 7)
     return p
 
 

@@ -1,0 +1,225 @@
+"""S3Gen: speech tokens + reference voice → waveform.
+
+Composition root matching the reference S3Token2Wav (ref:
+models/s3gen/s3gen.py:47-362): S3 tokenizer + CAMPPlus x-vector + 24 kHz mel
+extractor + flow (conformer encoder + CFM) + HiFT vocoder.
+
+TPU execution model: the host-facing S3GenEngine owns the params and a small
+set of bucketed jitted programs —
+  * flow_to_mel[token_bucket]: [prompt|gen] tokens → mel buffer
+  * mel_to_wav[mel_bucket]: gen mels → waveform
+  * embed_ref pieces bucketed on (0.5 s-quantized) reference length.
+Dynamic lengths travel as scalars + masks inside each bucket, so steady-state
+serving never recompiles.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...audio.mels import mel_spectrogram_24k
+from ...audio.resample import resample
+from .flow import flow_init, flow_inference, FlowDims, TOKEN_MEL_RATIO
+from .hift import hift_init, hift_inference, TOTAL_UPSAMPLE
+from .campplus import campplus_init, campplus_embed_wav
+from ..s3tok.model import (S3TokenizerConfig, s3tokenizer_init,
+                           s3tokenizer_tokenize, SPEECH_VOCAB_SIZE)
+
+S3GEN_SR = 24_000
+S3_SR = 16_000
+MEL_FLOOR = float(np.log(1e-5))      # matcha mel log-clamp floor
+TOKEN_BUCKETS = (64, 128, 256, 512, 768, 1024, 1536)
+GEN_MEL_BUCKETS = (128, 256, 512, 1024, 2048, 3072)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def s3gen_init(key, meanflow: bool = False,
+               tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
+               dims: FlowDims = FlowDims(), hift_base: int = 512) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "tokenizer": s3tokenizer_init(k1, tok_cfg),
+        "speaker_encoder": campplus_init(k2),
+        "flow": flow_init(k3, meanflow=meanflow, dims=dims),
+        "mel2wav": hift_init(k4, base_channels=hift_base),
+    }
+
+
+class RefDict(NamedTuple):
+    """The reference-voice conditioning bundle (ref: s3gen.py:165-171)."""
+    prompt_token: np.ndarray      # (1, P) int32
+    prompt_token_len: np.ndarray  # (1,)
+    prompt_feat: np.ndarray       # (1, T_feat, 80)
+    embedding: np.ndarray         # (1, 192)
+
+
+def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
+    """20 ms silence+fade-in applied to outputs to kill reference spillover
+    (ref: s3gen.py:254-258)."""
+    n = sr // 50
+    fade = np.zeros(2 * n, np.float32)
+    fade[n:] = (np.cos(np.linspace(np.pi, 0, n)) + 1) / 2
+    return fade
+
+
+class S3GenEngine:
+    """Host-facing runner owning jitted bucketed programs."""
+
+    def __init__(self, params: dict, meanflow: bool = False,
+                 tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
+                 n_timesteps: Optional[int] = None,
+                 dims: FlowDims = FlowDims()):
+        self.params = params
+        self.meanflow = meanflow
+        self.tok_cfg = tok_cfg
+        self.dims = dims
+        self.n_timesteps = n_timesteps or (2 if meanflow else 10)
+
+        @functools.partial(jax.jit, static_argnames=("n_timesteps",))
+        def _flow(params, token, token_len, prompt_len, prompt_feat, embedding,
+                  key, noise, n_timesteps):
+            return flow_inference(
+                params["flow"], token=token, token_len=token_len,
+                prompt_len=prompt_len, prompt_feat=prompt_feat,
+                embedding=embedding, key=key, n_timesteps=n_timesteps,
+                meanflow=meanflow, noise=noise, dims=dims)
+
+        @jax.jit
+        def _hift(params, mel, key):
+            return hift_inference(params["mel2wav"], key, mel)
+
+        @functools.partial(jax.jit, static_argnames=("max_len",))
+        def _tokenize(params, wav, wav_len, max_len):
+            return s3tokenizer_tokenize(params["tokenizer"], tok_cfg, wav,
+                                        wav_len, max_len=max_len)
+
+        @jax.jit
+        def _xvector(params, wav16):
+            return campplus_embed_wav(params["speaker_encoder"], wav16)
+
+        @jax.jit
+        def _mel24(wav24):
+            return jnp.swapaxes(mel_spectrogram_24k(wav24), 1, 2)
+
+        self._flow = _flow
+        self._hift = _hift
+        self._tokenize = _tokenize
+        self._xvector = _xvector
+        self._mel24 = _mel24
+        self._trim_fade = trim_fade()
+
+    # ------------------------------------------------------------------
+    # reference embedding (ref: s3gen.py:118-171)
+    # ------------------------------------------------------------------
+    def embed_ref(self, ref_wav: np.ndarray, ref_sr: int) -> RefDict:
+        ref_wav = np.asarray(ref_wav, np.float32).reshape(-1)
+        if len(ref_wav) > 10 * ref_sr:
+            print("WARNING: s3gen received ref longer than 10s")
+        # quantize length to 0.5 s to bound recompiles (tail truncation is
+        # perceptually immaterial for the voice prompt)
+        half_sec = ref_sr // 2
+        n = max(half_sec, (len(ref_wav) // half_sec) * half_sec)
+        ref_wav = ref_wav[:n]
+
+        wav24 = ref_wav if ref_sr == S3GEN_SR else np.asarray(
+            resample(jnp.asarray(ref_wav), ref_sr, S3GEN_SR))
+        wav16 = ref_wav if ref_sr == S3_SR else np.asarray(
+            resample(jnp.asarray(ref_wav), ref_sr, S3_SR))
+
+        ref_mels = np.asarray(self._mel24(jnp.asarray(wav24)[None]))  # (1,T2,80)
+        embedding = np.asarray(self._xvector(self.params, jnp.asarray(wav16)[None]))
+
+        # pad to a whole number of 40 ms tokens (ref: s3tokenizer.py:54-76)
+        n_tok = int(np.ceil(len(wav16) / (S3_SR / 25)))
+        wav16p = np.pad(wav16, (0, int(n_tok * S3_SR / 25) - len(wav16)))
+        tokens, token_len = self._tokenize(
+            self.params, jnp.asarray(wav16p)[None], jnp.asarray([len(wav16p)]),
+            None)
+        tokens = np.asarray(tokens)
+        token_len = np.asarray(token_len)
+
+        # enforce mel_len == 2 * token_len (ref: s3gen.py:158-163)
+        if ref_mels.shape[1] != 2 * tokens.shape[1]:
+            n_keep = ref_mels.shape[1] // 2
+            tokens = tokens[:, :n_keep]
+            token_len = np.minimum(token_len, n_keep)
+
+        return RefDict(prompt_token=tokens, prompt_token_len=token_len,
+                       prompt_feat=ref_mels, embedding=embedding)
+
+    # ------------------------------------------------------------------
+    # tokens → mel (ref: s3gen.py:300-321 / flow.py:131-198)
+    # ------------------------------------------------------------------
+    def flow_to_mel(self, speech_tokens: np.ndarray, ref: RefDict, key,
+                    n_timesteps: Optional[int] = None) -> tuple[np.ndarray, int]:
+        """Returns (gen mels (1, T_mel_bucket, 80), gen_mel_len)."""
+        speech_tokens = np.asarray(speech_tokens).reshape(1, -1)
+        P = int(ref.prompt_token_len[0])
+        G = speech_tokens.shape[1]
+        total = P + G
+        bucket = _bucket(total, TOKEN_BUCKETS)
+        token = np.zeros((1, bucket), np.int32)
+        token[0, :P] = ref.prompt_token[0, :P]
+        token[0, P:total] = speech_tokens[0]
+
+        key, k_noise = jax.random.split(key)
+        noise = None
+        if self.meanflow:
+            # meanflow pre-draws the generated-region noise (ref: s3gen.py:313-316)
+            noise = jax.random.normal(k_noise, (1, bucket * TOKEN_MEL_RATIO, 80))
+
+        mels = self._flow(self.params, jnp.asarray(token), jnp.asarray([total]),
+                          jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
+                          jnp.asarray(ref.embedding), key, noise,
+                          n_timesteps=n_timesteps or self.n_timesteps)
+        # slice off the prompt region (ref: flow.py:196-197), host-side
+        mels = np.asarray(mels)
+        gen_mel_len = G * TOKEN_MEL_RATIO
+        gen = mels[:, P * TOKEN_MEL_RATIO: P * TOKEN_MEL_RATIO + gen_mel_len]
+        return gen, gen_mel_len
+
+    # ------------------------------------------------------------------
+    # mel → wav (ref: s3gen.py:323-327)
+    # ------------------------------------------------------------------
+    def mel_to_wav(self, gen_mels: np.ndarray, key) -> np.ndarray:
+        gen_mels = np.asarray(gen_mels)
+        T = gen_mels.shape[1]
+        bucket = _bucket(T, GEN_MEL_BUCKETS)
+        mel = np.full((1, bucket, 80), MEL_FLOOR, np.float32)
+        mel[:, :T] = gen_mels
+        wav, _ = self._hift(self.params, jnp.asarray(mel), key)
+        return np.array(wav)[:, : T * TOTAL_UPSAMPLE]
+
+    # ------------------------------------------------------------------
+    # full inference (ref: s3gen.py:329-362)
+    # ------------------------------------------------------------------
+    def inference(self, speech_tokens: np.ndarray, ref: RefDict, key,
+                  n_timesteps: Optional[int] = None) -> np.ndarray:
+        k1, k2 = jax.random.split(key)
+        gen_mels, _ = self.flow_to_mel(speech_tokens, ref, k1, n_timesteps)
+        wav = self.mel_to_wav(gen_mels, k2)
+        wav[:, : len(self._trim_fade)] *= self._trim_fade
+        return wav
+
+    # ------------------------------------------------------------------
+    # wav → tokens (for VC; ref: vc.py:94-97)
+    # ------------------------------------------------------------------
+    def tokenize(self, wav_16k: np.ndarray, max_len: Optional[int] = None):
+        wav_16k = np.asarray(wav_16k, np.float32).reshape(-1)
+        n_tok = int(np.ceil(len(wav_16k) / (S3_SR / 25)))
+        target = int(n_tok * S3_SR / 25)
+        wavp = np.pad(wav_16k, (0, target - len(wav_16k)))
+        tokens, token_len = self._tokenize(self.params, jnp.asarray(wavp)[None],
+                                           jnp.asarray([len(wavp)]), max_len)
+        n = int(token_len[0])
+        return np.asarray(tokens)[:, :n], np.asarray(token_len)

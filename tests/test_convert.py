@@ -1,0 +1,192 @@
+"""Weight-converter round-trip tests: take real reference torch modules,
+convert their state_dicts with convert/weights.py, and check numeric parity
+of full forwards. This validates the exact name mapping used for the
+published checkpoints.
+"""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from chatterbox_tpu.convert import weights as W
+from tests.ref_loader import load_ref_module
+
+
+def _prefix_sd(module, prefix):
+    return {f"{prefix}{k}": v.detach().float().numpy()
+            for k, v in module.state_dict().items()}
+
+
+class TestHiFTConvert:
+    def test_roundtrip(self):
+        hifigan = load_ref_module("chatterbox.models.s3gen.hifigan")
+        f0p = load_ref_module("chatterbox.models.s3gen.f0_predictor")
+        torch.manual_seed(0)
+        m = hifigan.HiFTGenerator(
+            sampling_rate=24000, upsample_rates=[8, 5, 3],
+            upsample_kernel_sizes=[16, 11, 7],
+            source_resblock_kernel_sizes=[7, 7, 11],
+            source_resblock_dilation_sizes=[[1, 3, 5]] * 3,
+            f0_predictor=f0p.ConvRNNF0Predictor(),
+        ).eval()
+        sd = _prefix_sd(m, "mel2wav.")
+        params = W.convert_hift(sd)
+        from chatterbox_tpu.models.s3gen import hift as H
+        T = 8
+        torch.manual_seed(1)
+        mel = torch.randn(1, 80, T) * 0.5
+        src = torch.randn(1, 1, T * 480) * 0.05
+        with torch.no_grad():
+            ref_wav, _ = m.inference(speech_feat=mel, cache_source=src)
+        ours = H.hift_decode(params, jnp.asarray(mel.transpose(1, 2).numpy()),
+                             jnp.asarray(src.transpose(1, 2).numpy()))
+        np.testing.assert_allclose(np.asarray(ours), ref_wav.numpy(), atol=2e-3)
+
+
+class TestEncoderConvert:
+    def test_roundtrip(self):
+        ue = load_ref_module("chatterbox.models.s3gen.transformer.upsample_encoder")
+        torch.manual_seed(2)
+        m = ue.UpsampleConformerEncoder(
+            output_size=512, attention_heads=8, linear_units=2048, num_blocks=2,
+            dropout_rate=0.0, positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+            normalize_before=True, input_layer='linear',
+            pos_enc_layer_type='rel_pos_espnet', selfattention_layer_type='rel_selfattn',
+            input_size=512, use_cnn_module=False, macaron_style=False,
+        ).eval()
+        # trim up_encoders to 2 for speed
+        m.up_encoders = torch.nn.ModuleList(list(m.up_encoders)[:2])
+        sd = _prefix_sd(m, "flow.encoder.")
+        params = W.convert_upsample_encoder(sd)
+        from chatterbox_tpu.models.s3gen import encoder as enc
+        torch.manual_seed(3)
+        x = torch.randn(1, 10, 512)
+        with torch.no_grad():
+            ref, _ = m(x, torch.tensor([10]))
+        ours, _ = enc.upsample_encoder_apply(params, jnp.asarray(x.numpy()),
+                                             jnp.asarray([10]))
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=5e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_ref_t3():
+    """Full reference T3 with a tiny llama backbone injected into its config
+    registry (no perceiver — the reference perceiver hardcodes 1024 dims)."""
+    cfgs = load_ref_module("chatterbox.models.t3.llama_configs")
+    cfgs.LLAMA_CONFIGS["Llama_tiny_test"] = dict(
+        vocab_size=8, max_position_embeddings=4096, hidden_size=64,
+        intermediate_size=256, num_hidden_layers=2, num_attention_heads=4,
+        attn_implementation="eager", head_dim=16, tie_word_embeddings=False,
+        hidden_act="silu", attention_bias=False, attention_dropout=0.0,
+        initializer_range=0.02, mlp_bias=False, model_type="llama",
+        num_key_value_heads=4, pretraining_tp=1, rms_norm_eps=1e-05,
+        rope_scaling=dict(factor=8.0, high_freq_factor=4.0, low_freq_factor=1.0,
+                          original_max_position_embeddings=8192, rope_type="llama3"),
+        rope_theta=500000.0, use_cache=True,
+    )
+    t3c = load_ref_module("chatterbox.models.t3.modules.t3_config")
+    hp = t3c.T3Config(text_tokens_dict_size=64)
+    hp.llama_config_name = "Llama_tiny_test"
+    hp.speech_tokens_dict_size = 80
+    hp.use_perceiver_resampler = False
+    hp.speech_cond_prompt_len = 8
+    hp.start_text_token = 2   # keep special ids inside the tiny vocab
+    t3mod = load_ref_module("chatterbox.models.t3.t3")
+    torch.manual_seed(4)
+    m = t3mod.T3(hp).eval()
+    return m, hp
+
+
+class TestT3Convert:
+    def test_teacher_forced_parity(self, tiny_ref_t3):
+        m, ref_hp = tiny_ref_t3
+        sd = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+        from chatterbox_tpu.models.t3.config import T3Config
+        hp = T3Config(
+            text_tokens_dict_size=64, backbone_name="Llama_tiny_test",
+            speech_tokens_dict_size=80, input_pos_emb="learned",
+            speech_cond_prompt_len=8, use_perceiver_resampler=False,
+            emotion_adv=True, start_text_token=2,
+        )
+        params = W.convert_t3(sd, hp)
+
+        from chatterbox_tpu.models.t3 import model as t3m
+        cond_mod = load_ref_module("chatterbox.models.t3.modules.cond_enc")
+        torch.manual_seed(5)
+        spk = torch.randn(1, 256)
+        prompt = torch.randint(0, 80, (1, 8))
+        emo = 0.5 * torch.ones(1, 1, 1)
+        t3cond = cond_mod.T3Cond(speaker_emb=spk, cond_prompt_speech_tokens=prompt,
+                                 emotion_adv=emo)
+        text = torch.randint(1, 64, (1, 10))
+        text[0, 0] = ref_hp.start_text_token
+        text[0, -1] = ref_hp.stop_text_token
+        speech = torch.randint(0, 80, (1, 12))
+
+        with torch.no_grad():
+            ref_out = m.forward(
+                t3_cond=t3cond, text_tokens=text,
+                text_token_lens=torch.tensor([10]),
+                speech_tokens=speech, speech_token_lens=torch.tensor([12]),
+                training=True,
+            )
+
+        cond = t3m.T3CondArrays(
+            speaker_emb=jnp.asarray(spk.numpy()),
+            cond_prompt_speech_tokens=jnp.asarray(prompt.numpy()),
+            emotion_adv=jnp.asarray(emo.numpy()),
+        )
+        tl, sl = t3m.t3_forward(params, hp, cond, jnp.asarray(text.numpy()),
+                                jnp.asarray(speech.numpy()))
+        np.testing.assert_allclose(np.asarray(sl), ref_out.speech_logits.numpy(),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(tl), ref_out.text_logits.numpy(),
+                                   atol=1e-3)
+
+    def test_cond_embeds_parity(self, tiny_ref_t3):
+        m, _ = tiny_ref_t3
+        sd = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+        from chatterbox_tpu.models.t3.config import T3Config
+        hp = T3Config(
+            text_tokens_dict_size=64, backbone_name="Llama_tiny_test",
+            speech_tokens_dict_size=80, input_pos_emb="learned",
+            speech_cond_prompt_len=8, use_perceiver_resampler=False,
+            emotion_adv=True,
+        )
+        params = W.convert_t3(sd, hp)
+        from chatterbox_tpu.models.t3 import model as t3m
+        cond_mod = load_ref_module("chatterbox.models.t3.modules.cond_enc")
+        torch.manual_seed(6)
+        spk = torch.randn(1, 256)
+        prompt = torch.randint(0, 80, (1, 8))
+        emo = 0.7 * torch.ones(1, 1, 1)
+        t3cond = cond_mod.T3Cond(speaker_emb=spk, cond_prompt_speech_tokens=prompt,
+                                 emotion_adv=emo)
+        with torch.no_grad():
+            ref = m.prepare_conditioning(t3cond).numpy()
+        cond = t3m.T3CondArrays(jnp.asarray(spk.numpy()),
+                                jnp.asarray(prompt.numpy()),
+                                jnp.asarray(emo.numpy()))
+        ours = t3m.cond_embeds(params, hp, cond)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+class TestVEConvert:
+    def test_lstm_shapes(self):
+        torch.manual_seed(7)
+        lstm = torch.nn.LSTM(40, 256, num_layers=3, batch_first=True)
+        proj = torch.nn.Linear(256, 256)
+        sd = {f"lstm.{k}": v.detach().numpy() for k, v in lstm.state_dict().items()}
+        sd.update({f"proj.{k}": v.detach().numpy() for k, v in proj.state_dict().items()})
+        sd["similarity_weight"] = np.asarray([10.0])
+        sd["similarity_bias"] = np.asarray([-5.0])
+        params = W.convert_voice_encoder(sd)
+        from chatterbox_tpu.models.ve.model import ve_forward
+        x = torch.randn(2, 160, 40)
+        with torch.no_grad():
+            _, (h, _) = lstm(x)
+            raw = torch.relu(proj(h[-1]))
+            ref = (raw / raw.norm(dim=1, keepdim=True)).numpy()
+        ours = ve_forward(params, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)

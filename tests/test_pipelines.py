@@ -1,0 +1,122 @@
+"""Full-pipeline smoke tests on tiny random-init models (CPU).
+
+Covers the reference's de-facto verification (its example scripts synthesize
+wavs end-to-end; SURVEY.md §4) at tiny scale: text → tokens → T3 decode →
+S3Gen → waveform for all four pipelines.
+"""
+import numpy as np
+import pytest
+import jax
+
+from chatterbox_tpu.api.pipelines import (
+    ChatterboxTTS, ChatterboxTurboTTS, ChatterboxMultilingualTTS, ChatterboxVC,
+    Conditionals, T3CondHost, drop_invalid_tokens_sliced, SUPPORTED_LANGUAGES,
+)
+from chatterbox_tpu.models.t3.config import T3Config
+from chatterbox_tpu.models.s3gen.flow import FlowDims
+from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+from chatterbox_tpu.text.tokenizer import punc_norm
+
+
+class FakeTokenizer:
+    """Char-level stand-in for the BPE tokenizers (tiny vocab)."""
+
+    def __init__(self, vocab=60):
+        self.vocab = vocab
+
+    def text_to_tokens(self, text, language_id=None, **kw):
+        ids = [1 + (ord(c) % (self.vocab - 2)) for c in text[:20]]
+        return np.asarray(ids, np.int32)[None]
+
+
+TINY = dict(flow_dims=FlowDims.tiny_test(), tok_cfg=S3TokenizerConfig.tiny_test(),
+            hift_base=32)
+
+
+def _make_ref_wav(seconds=2, sr=24000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(seconds * sr) / sr
+    return (0.1 * np.sin(2 * np.pi * 220 * t)
+            + 0.02 * rng.standard_normal(seconds * sr)).astype(np.float32)
+
+
+class TestPuncNorm:
+    def test_variants(self):
+        assert punc_norm("") == "You need to add some text for me to talk."
+        assert punc_norm("hello world") == "Hello world."
+        # ';' → ', ' keeps the original following space (reference behavior)
+        assert punc_norm("Hi; there") == "Hi,  there."
+        # turbo keeps "..." (no triple-dot replacement; trailing dot kept)
+        assert punc_norm("Wait...", variant="turbo") == "Wait..."
+        # mtl accepts CJK enders
+        assert punc_norm("你好。", variant="mtl") == "你好。"
+
+    def test_drop_invalid_sliced(self):
+        toks = np.array([5, 6561, 10, 20, 6562, 30])
+        np.testing.assert_array_equal(drop_invalid_tokens_sliced(toks), [10, 20])
+        toks = np.array([10, 20, 30])
+        np.testing.assert_array_equal(drop_invalid_tokens_sliced(toks), [10, 20, 30])
+
+
+class TestTurboPipeline:
+    @pytest.fixture(scope="class")
+    def model(self):
+        hp = T3Config.tiny_test("gpt2")
+        m = ChatterboxTurboTTS.random_init(nano=True, tokenizer=FakeTokenizer(),
+                                           hp=hp, **TINY)
+        return m
+
+    def test_generate_with_prompt_wav(self, model, tmp_path):
+        from chatterbox_tpu.utils.audio_io import save_wav
+        wav_path = tmp_path / "ref.wav"
+        save_wav(str(wav_path), _make_ref_wav(6), 24000)
+        out = model.generate("Hello there.", audio_prompt_path=str(wav_path),
+                             max_new_tokens=8, top_k=50)
+        assert out.ndim == 2 and out.shape[0] == 1
+        assert out.shape[1] > 0
+        assert np.isfinite(out).all()
+
+    def test_conditionals_save_load(self, model, tmp_path):
+        path = tmp_path / "conds.npz"
+        model.conds.save(str(path))
+        loaded = Conditionals.load(str(path))
+        np.testing.assert_array_equal(loaded.gen.prompt_token,
+                                      model.conds.gen.prompt_token)
+        np.testing.assert_allclose(loaded.t3.speaker_emb, model.conds.t3.speaker_emb)
+
+
+class TestCfgPipeline:
+    def test_english_tts(self, tmp_path):
+        hp = T3Config.tiny_test("llama")
+        m = ChatterboxTTS.random_init(hp=hp, tokenizer=FakeTokenizer(), **TINY)
+        from chatterbox_tpu.utils.audio_io import save_wav
+        wav_path = tmp_path / "ref.wav"
+        save_wav(str(wav_path), _make_ref_wav(2, seed=1), 24000)
+        out = m.generate("Test.", audio_prompt_path=str(wav_path),
+                         max_new_tokens=6)
+        assert out.ndim == 2 and np.isfinite(out).all()
+
+
+class TestVCPipeline:
+    def test_vc(self, tmp_path):
+        m = ChatterboxVC.random_init(**TINY)
+        from chatterbox_tpu.utils.audio_io import save_wav
+        ref_path = tmp_path / "ref.wav"
+        src_path = tmp_path / "src.wav"
+        save_wav(str(ref_path), _make_ref_wav(1, seed=2), 24000)
+        save_wav(str(src_path), _make_ref_wav(1, seed=3), 24000)
+        out = m.generate(str(src_path), target_voice_path=str(ref_path))
+        assert out.shape[0] == 1 and out.shape[1] > 0
+        assert np.isfinite(out).all()
+
+
+class TestMTL:
+    def test_language_validation(self):
+        hp = T3Config.tiny_test("llama")
+        m = ChatterboxMultilingualTTS.random_init(hp=hp, tokenizer=FakeTokenizer(), **TINY)
+        with pytest.raises(ValueError, match="Unsupported language_id"):
+            m.generate("x", language_id="xx")
+
+    def test_supported_languages(self):
+        assert len(SUPPORTED_LANGUAGES) == 23
+        assert ChatterboxMultilingualTTS.get_supported_languages()["zh"] == "Chinese"

@@ -204,6 +204,55 @@ def backbone_apply(params: dict, cfg: BackboneConfig, embeds: jnp.ndarray,
     return x, KVCache(jnp.stack(new_k), jnp.stack(new_v))
 
 
+def stack_layer_params(layers: list) -> dict:
+    """Stack per-layer param pytrees into leading-axis-L arrays (for
+    lax.scan over layers — one traced layer, in-place cache aliasing)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def backbone_apply_stacked(params: dict, stacked_layers: dict, cfg: BackboneConfig,
+                           embeds: jnp.ndarray, positions: jnp.ndarray,
+                           cache: KVCache, start: jnp.ndarray,
+                           kv_mask: jnp.ndarray):
+    """Same contract as backbone_apply but scans over stacked layer params.
+    This is the hot path used by the decode engine: one compiled layer body,
+    KV cache threaded through scan so XLA updates it in place."""
+    x = embeds
+    if cfg.is_gpt:
+        pos_emb = jnp.take(params["wpe"]["w"], positions, axis=0).astype(x.dtype)
+        x = x + pos_emb
+        cos = sin = None
+    else:
+        inv_freq = jnp.asarray(llama3_inv_freq(cfg))
+        cos, sin = rope_cos_sin(inv_freq, positions)
+        cos = cos.astype(x.dtype)
+        sin = sin.astype(x.dtype)
+
+    def layer_fn(h, xs):
+        lp, ck, cv = xs
+        if cfg.is_gpt:
+            y = nn.layer_norm(lp["ln1"], h, cfg.layer_norm_eps)
+            attn, ck, cv = _gpt2_attn(lp, y, cfg, ck, cv, start, kv_mask)
+            h = h + attn
+            y = nn.layer_norm(lp["ln2"], h, cfg.layer_norm_eps)
+            h = h + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], y)))
+        else:
+            y = nn.rms_norm(lp["input_ln"], h, cfg.rms_norm_eps)
+            attn, ck, cv = _llama_attn(lp, y, cfg, cos, sin, ck, cv, start, kv_mask)
+            h = h + attn
+            y = nn.rms_norm(lp["post_ln"], h, cfg.rms_norm_eps)
+            h = h + nn.linear(lp["down"],
+                              nn.silu(nn.linear(lp["gate"], y)) * nn.linear(lp["up"], y))
+        return h, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(layer_fn, x, (stacked_layers, cache.k, cache.v))
+    if cfg.is_gpt:
+        x = nn.layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    else:
+        x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return x, KVCache(new_k, new_v)
+
+
 def prefill_mask(t: int, t_max: int, lens: jnp.ndarray) -> jnp.ndarray:
     """Causal + length mask for prefill: (B, 1, t, t_max)."""
     q_pos = jnp.arange(t)[:, None]

@@ -39,13 +39,13 @@ class GenResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode"),
+    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "ignore_eos"),
 )
 def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                 text_tokens: jnp.ndarray, text_len: jnp.ndarray,
                 sp: S.SamplerParams, key,
                 *, max_new_tokens: int = 1000, top_k: int = 0,
-                cfg_mode: bool = True) -> GenResult:
+                cfg_mode: bool = True, ignore_eos: bool = False) -> GenResult:
     """Generate speech tokens for one utterance.
 
     Args:
@@ -77,6 +77,8 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))                             # (B, 1, D)
 
+    dt = params["speech_emb"]["w"].dtype                      # compute dtype
+    ce, te, bos = ce.astype(dt), te.astype(dt), bos.astype(dt)
     x = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)  # (B, P_pad, D)
     x = jax.lax.dynamic_update_slice(x, bos, (0, Lc + text_len, 0))
 
@@ -84,12 +86,15 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     lens = jnp.full((B,), prefill_len, jnp.int32)
 
     # ---- prefill ----------------------------------------------------------
+    # stack per-layer params once per call: the decode loop then scans over
+    # layers (single traced layer body, in-place KV cache aliasing)
+    stacked = bb.stack_layer_params(params["backbone"]["layers"])
     cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, t_max, lens)
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
     start0 = jnp.zeros((B,), jnp.int32)
-    hidden, cache = bb.backbone_apply(params["backbone"], cfg, x, positions,
-                                      cache, start0, mask)
+    hidden, cache = bb.backbone_apply_stacked(params["backbone"], stacked, cfg,
+                                              x, positions, cache, start0, mask)
     last_h = jnp.take_along_axis(
         hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
     logits0 = t3m.speech_logits(params, last_h)                # (B, V)
@@ -133,15 +138,19 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
 
         tokens = s.tokens.at[s.step].set(token)
         seen = s.seen.at[token].set(True)
-        done = token == hp.stop_speech_token
+        if ignore_eos:  # benchmarking mode: always run max_new_tokens steps
+            done = jnp.zeros((), jnp.bool_)
+        else:
+            done = token == hp.stop_speech_token
 
         emb = t3m.speech_embed_token(
             params, hp, jnp.full((B,), token, jnp.int32), s.step + 1)
         pos_now = prefill_len + s.step
         cur = jnp.full((B,), pos_now, jnp.int32)
         mask = bb.decode_mask(t_max, cur)
-        hidden, cache = bb.backbone_apply(params["backbone"], cfg, emb,
-                                          cur[:, None], s.cache, cur, mask)
+        hidden, cache = bb.backbone_apply_stacked(params["backbone"], stacked,
+                                                  cfg, emb, cur[:, None],
+                                                  s.cache, cur, mask)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         return _State(s.step + 1, logits_new, cache, seen, tokens, done, key)
 

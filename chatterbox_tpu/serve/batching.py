@@ -1,0 +1,133 @@
+"""Batched serving engine: request queue → padded batch decode → per-request
+vocoding.
+
+The reference serves one request at a time (gradio queue concurrency 1,
+ref: gradio_tts_app.py:90-93). Here requests are grouped into fixed-size
+batches over a shared text bucket; the batched T3 loop (sampling/batched.py)
+decodes them together and the S3Gen stages run per request (different
+reference voices → different prompt shapes). Batches can also be sharded
+over a "data" mesh axis for multi-chip serving (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.t3.config import T3Config
+from ..models.t3 import model as t3m
+from ..models.s3tok.model import SPEECH_VOCAB_SIZE
+from ..sampling.batched import t3_generate_batched
+from ..sampling.decode import text_bucket
+from ..ops.sampling import SamplerParams
+
+
+@dataclasses.dataclass
+class TTSRequest:
+    text_tokens: np.ndarray            # (Lt,) raw BPE ids (turbo framing)
+    cond: "object"                     # T3CondHost
+    sampler: Optional[SamplerParams] = None
+    request_id: int = 0
+
+
+@dataclasses.dataclass
+class TTSResult:
+    request_id: int
+    speech_tokens: np.ndarray          # filtered (<6561), no EOS
+
+
+class BatchDecoder:
+    """Groups requests and runs the batched T3 decode."""
+
+    def __init__(self, t3_params, hp: T3Config, max_batch: int = 8,
+                 max_new_tokens: int = 1000, top_k: int = 1000, seed: int = 0):
+        self.t3_params = t3_params
+        self.hp = hp
+        self.max_batch = max_batch
+        self.max_new_tokens = max_new_tokens
+        self.top_k = top_k
+        self._key = jax.random.key(seed)
+
+    def decode_batch(self, requests: list[TTSRequest]) -> list[TTSResult]:
+        B = len(requests)
+        assert B >= 1
+        lens = [len(r.text_tokens) for r in requests]
+        bucket = text_bucket(max(lens))
+        text = np.zeros((B, bucket), np.int32)
+        for i, r in enumerate(requests):
+            text[i, : lens[i]] = r.text_tokens
+
+        # batch the conditioning (same static prompt length per model)
+        spk = np.concatenate([r.cond.speaker_emb for r in requests], axis=0)
+        prompts = np.concatenate(
+            [r.cond.cond_prompt_speech_tokens for r in requests], axis=0)
+        cond = t3m.T3CondArrays(
+            speaker_emb=jnp.asarray(spk),
+            cond_prompt_speech_tokens=jnp.asarray(prompts),
+            emotion_adv=(jnp.asarray(
+                np.stack([[[r.cond.emotion_adv]] for r in requests]))
+                if self.hp.emotion_adv else None),
+        )
+        sp = requests[0].sampler or SamplerParams.make(cfg_weight=0.0)
+        self._key, k = jax.random.split(self._key)
+        res = t3_generate_batched(
+            self.t3_params, self.hp, cond, jnp.asarray(text),
+            jnp.asarray(lens, jnp.int32), sp, k,
+            max_new_tokens=self.max_new_tokens, top_k=self.top_k)
+        tokens = np.asarray(res.tokens)
+        counts = np.asarray(res.n_tokens)
+        out = []
+        for i, r in enumerate(requests):
+            t = tokens[i, : counts[i]]
+            t = t[t < SPEECH_VOCAB_SIZE]
+            out.append(TTSResult(request_id=r.request_id, speech_tokens=t))
+        return out
+
+
+class ServingLoop:
+    """A minimal continuous-serving loop: collects requests from a queue into
+    batches (up to max_batch or a wait timeout) and invokes a result callback.
+    Dynamic (in-flight) batching — new requests join at batch boundaries;
+    true token-level continuous batching is roadmap."""
+
+    def __init__(self, decoder: BatchDecoder, on_result: Callable[[TTSResult], None],
+                 batch_wait_s: float = 0.02):
+        self.decoder = decoder
+        self.on_result = on_result
+        self.batch_wait_s = batch_wait_s
+        self._q: "queue.Queue[TTSRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def submit(self, req: TTSRequest):
+        self._q.put(req)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = self.batch_wait_s
+            while len(batch) < self.decoder.max_batch:
+                try:
+                    batch.append(self._q.get(timeout=deadline))
+                except queue.Empty:
+                    break
+            for result in self.decoder.decode_batch(batch):
+                self.on_result(result)

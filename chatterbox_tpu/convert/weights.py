@@ -499,11 +499,26 @@ def load_conds_pt(path):
 
 
 def download_repo(repo_id: str, files):
-    """hf_hub download (network required)."""
+    """hf_hub download (network required), with the reference's Xet-failure
+    fallback (ref: tts_turbo.py:207-224)."""
     from huggingface_hub import hf_hub_download, snapshot_download
     import os
+
+    def _snapshot():
+        return snapshot_download(
+            repo_id=repo_id, token=os.getenv("HF_TOKEN") or None,
+            allow_patterns=["*.safetensors", "*.json", "*.txt", "*.pt", "*.model"])
+
     if files is None:
-        return snapshot_download(repo_id=repo_id, token=os.getenv("HF_TOKEN") or None)
+        try:
+            return _snapshot()
+        except Exception as e:
+            if "xet" in str(e).lower() or "hex hash" in str(e).lower():
+                logger.warning(f"Xet download failed ({e}); retrying with Xet disabled.")
+                import huggingface_hub.constants as hf_constants
+                hf_constants.HF_HUB_DISABLE_XET = True
+                return _snapshot()
+            raise
     local = None
     for f in files:
         local = hf_hub_download(repo_id=repo_id, filename=f)

@@ -134,7 +134,10 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
             # generated tokens (ref: t3.py:428, 448-449)
             pen_mask = s.seen | (start_onehot & (s.step == 0))
             logits = S.process_logits_turbo(s.logits[0], pen_mask, sp, top_k)
+        # all-(-inf) guard (ref: t3.py:450-452): stop instead of sampling noise
+        all_filtered = jnp.all(logits <= S.NEG_INF)
         token = S.sample_categorical(sub, logits).astype(jnp.int32)
+        token = jnp.where(all_filtered, hp.stop_speech_token, token)
 
         tokens = s.tokens.at[s.step].set(token)
         seen = s.seen.at[token].set(True)

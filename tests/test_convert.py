@@ -190,3 +190,83 @@ class TestVEConvert:
             ref = (raw / raw.norm(dim=1, keepdim=True)).numpy()
         ours = ve_forward(params, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_ref_t3_gpt2():
+    """Full reference T3 with a tiny GPT-2 backbone (the Turbo/Nano family)."""
+    cfgs = load_ref_module("chatterbox.models.t3.llama_configs")
+    cfgs.LLAMA_CONFIGS["GPT2_tiny_ref"] = {
+        "activation_function": "gelu_new", "attn_pdrop": 0.0, "embd_pdrop": 0.0,
+        "resid_pdrop": 0.0, "bos_token_id": 0, "eos_token_id": 0,
+        "initializer_range": 0.02, "layer_norm_epsilon": 1e-05,
+        "model_type": "gpt2", "n_ctx": 256, "n_embd": 64, "hidden_size": 64,
+        "n_head": 4, "n_layer": 2, "n_positions": 256, "vocab_size": 96,
+    }
+    t3c = load_ref_module("chatterbox.models.t3.modules.t3_config")
+    hp = t3c.T3Config(text_tokens_dict_size=96)
+    hp.llama_config_name = "GPT2_tiny_ref"
+    hp.speech_tokens_dict_size = 80
+    hp.input_pos_emb = None
+    hp.speech_cond_prompt_len = 8
+    hp.use_perceiver_resampler = False
+    hp.emotion_adv = False
+    hp.start_text_token = 2
+    t3mod = load_ref_module("chatterbox.models.t3.t3")
+    torch.manual_seed(8)
+    m = t3mod.T3(hp).eval()
+    return m, hp
+
+
+class TestT3ConvertGPT2:
+    def test_teacher_forced_parity(self, tiny_ref_t3_gpt2):
+        m, ref_hp = tiny_ref_t3_gpt2
+        sd = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+        from chatterbox_tpu.models.t3.config import T3Config, BackboneConfig, BACKBONES
+        tiny = BackboneConfig(family="gpt2", hidden_size=64, num_layers=2,
+                              num_heads=4, head_dim=16, intermediate_size=256,
+                              max_positions=256, vocab_size=96)
+        BACKBONES["GPT2_tiny_ref"] = tiny
+        hp = T3Config(
+            text_tokens_dict_size=96, backbone_name="GPT2_tiny_ref",
+            speech_tokens_dict_size=80, input_pos_emb=None,
+            speech_cond_prompt_len=8, use_perceiver_resampler=False,
+            emotion_adv=False, start_text_token=2,
+        )
+        params = W.convert_t3(sd, hp)
+        from chatterbox_tpu.models.t3 import model as t3m
+        cond_mod = load_ref_module("chatterbox.models.t3.modules.cond_enc")
+        torch.manual_seed(9)
+        spk = torch.randn(1, 256)
+        prompt = torch.randint(0, 80, (1, 8))
+        t3cond = cond_mod.T3Cond(speaker_emb=spk, cond_prompt_speech_tokens=prompt,
+                                 emotion_adv=None)
+        text = torch.randint(1, 96, (1, 9))
+        text[0, 0] = 2
+        text[0, -1] = 0
+        speech = torch.randint(0, 80, (1, 11))
+        with torch.no_grad():
+            ref_out = m.forward(t3_cond=t3cond, text_tokens=text,
+                                text_token_lens=torch.tensor([9]),
+                                speech_tokens=speech,
+                                speech_token_lens=torch.tensor([11]),
+                                training=True)
+        cond = t3m.T3CondArrays(jnp.asarray(spk.numpy()),
+                                jnp.asarray(prompt.numpy()), None)
+        tl, sl = t3m.t3_forward(params, hp, cond, jnp.asarray(text.numpy()),
+                                jnp.asarray(speech.numpy()))
+        np.testing.assert_allclose(np.asarray(sl), ref_out.speech_logits.numpy(),
+                                   atol=1e-3)
+
+
+class TestNativeCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from chatterbox_tpu.convert.native_ckpt import save_pytree, load_pytree
+        from chatterbox_tpu.models.t3.config import T3Config
+        from chatterbox_tpu.models.t3 import model as t3m
+        hp = T3Config.tiny_test("gpt2")
+        params = t3m.t3_init(jax.random.key(0), hp)
+        save_pytree(params, tmp_path / "p.safetensors")
+        loaded = load_pytree(tmp_path / "p.safetensors", params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -7,6 +7,10 @@ identical FLOPs/shapes to the published Turbo 350M checkpoint):
   + S3Gen meanflow flow (2-step CFM over the conformer-encoded tokens)
   + HiFT vocoder (mel → 24 kHz waveform)
 
+Serving configuration: weight-only int8 backbone (utils/quantize.py; <0.5%
+weight rounding error, validated in tests/test_quantize.py) + fused Pallas
+decode attention. Set CHATTERBOX_BENCH_BF16=1 for the plain bf16 path.
+
 xRT = seconds of audio generated per wall-clock second (≥20× is the
 BASELINE.md north-star target for Turbo on v5e).
 
@@ -35,9 +39,13 @@ def main():
     key = jax.random.key(0)
     k1, k2 = jax.random.split(key)
 
-    print("building Turbo T3 (GPT2-medium) ...", file=sys.stderr)
-    t3_params = t3m.t3_init(k1, hp)
-    t3_params = cast_params(t3_params, jnp.bfloat16)
+    import os
+    use_int8 = os.environ.get("CHATTERBOX_BENCH_BF16") != "1"
+    print(f"building Turbo T3 (GPT2-medium, int8={use_int8}) ...", file=sys.stderr)
+    t3_params = cast_params(t3m.t3_init(k1, hp), jnp.bfloat16)
+    if use_int8:
+        from chatterbox_tpu.utils.quantize import quantize_t3_backbone
+        t3_params = quantize_t3_backbone(t3_params)
 
     print("building S3Gen (meanflow) ...", file=sys.stderr)
     s3_params = s3gen_init(k2, meanflow=True)
@@ -66,7 +74,8 @@ def main():
     def t3_step(seed):
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
-                          top_k=1000, cfg_mode=False, ignore_eos=True)
+                          top_k=1000, cfg_mode=False, ignore_eos=True,
+                          fused_attn=use_int8)
         return jax.block_until_ready(res.tokens)
 
     print("compiling T3 decode ...", file=sys.stderr)

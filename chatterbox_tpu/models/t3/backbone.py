@@ -129,7 +129,17 @@ def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray)
 # forward
 # ---------------------------------------------------------------------------
 
-def _gpt2_attn(lp, x, cfg: BackboneConfig, cache_k, cache_v, start, kv_mask):
+def _attn_core(q, ck, cv, start, kv_mask, fused: bool):
+    """Attention over the cache: fused Pallas decode kernel for single-token
+    steps (ops/pallas_attention.py), XLA mha otherwise."""
+    if fused and q.shape[2] == 1:
+        from ...ops.pallas_attention import decode_attention
+        return decode_attention(q, ck, cv, start)
+    return nn.mha(q, ck, cv, mask=kv_mask)
+
+
+def _gpt2_attn(lp, x, cfg: BackboneConfig, cache_k, cache_v, start, kv_mask,
+               fused: bool = False):
     qkv = nn.linear(lp["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = nn.split_heads(q, cfg.num_heads)
@@ -137,11 +147,13 @@ def _gpt2_attn(lp, x, cfg: BackboneConfig, cache_k, cache_v, start, kv_mask):
     v = nn.split_heads(v, cfg.num_heads)
     cache_k = _write_cache(cache_k, k, start)
     cache_v = _write_cache(cache_v, v, start)
-    out = nn.mha(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype), mask=kv_mask)
+    out = _attn_core(q, cache_k.astype(q.dtype), cache_v.astype(q.dtype),
+                     start, kv_mask, fused)
     return nn.linear(lp["attn_out"], nn.merge_heads(out)), cache_k, cache_v
 
 
-def _llama_attn(lp, x, cfg: BackboneConfig, cos, sin, cache_k, cache_v, start, kv_mask):
+def _llama_attn(lp, x, cfg: BackboneConfig, cos, sin, cache_k, cache_v, start,
+                kv_mask, fused: bool = False):
     q = nn.split_heads(nn.linear(lp["q"], x), cfg.num_heads)
     k = nn.split_heads(nn.linear(lp["k"], x), cfg.num_kv_heads)
     v = nn.split_heads(nn.linear(lp["v"], x), cfg.num_kv_heads)
@@ -154,7 +166,7 @@ def _llama_attn(lp, x, cfg: BackboneConfig, cos, sin, cache_k, cache_v, start, k
         rep = cfg.num_heads // cfg.num_kv_heads
         ck = jnp.repeat(ck, rep, axis=1)
         cv = jnp.repeat(cv, rep, axis=1)
-    out = nn.mha(q, ck, cv, mask=kv_mask)
+    out = _attn_core(q, ck, cv, start, kv_mask, fused)
     return nn.linear(lp["o"], nn.merge_heads(out)), cache_k, cache_v
 
 
@@ -213,7 +225,7 @@ def stack_layer_params(layers: list) -> dict:
 def backbone_apply_stacked(params: dict, stacked_layers: dict, cfg: BackboneConfig,
                            embeds: jnp.ndarray, positions: jnp.ndarray,
                            cache: KVCache, start: jnp.ndarray,
-                           kv_mask: jnp.ndarray):
+                           kv_mask: jnp.ndarray, fused_attn: bool = False):
     """Same contract as backbone_apply but scans over stacked layer params.
     This is the hot path used by the decode engine: one compiled layer body,
     KV cache threaded through scan so XLA updates it in place."""
@@ -232,13 +244,14 @@ def backbone_apply_stacked(params: dict, stacked_layers: dict, cfg: BackboneConf
         lp, ck, cv = xs
         if cfg.is_gpt:
             y = nn.layer_norm(lp["ln1"], h, cfg.layer_norm_eps)
-            attn, ck, cv = _gpt2_attn(lp, y, cfg, ck, cv, start, kv_mask)
+            attn, ck, cv = _gpt2_attn(lp, y, cfg, ck, cv, start, kv_mask, fused_attn)
             h = h + attn
             y = nn.layer_norm(lp["ln2"], h, cfg.layer_norm_eps)
             h = h + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], y)))
         else:
             y = nn.rms_norm(lp["input_ln"], h, cfg.rms_norm_eps)
-            attn, ck, cv = _llama_attn(lp, y, cfg, cos, sin, ck, cv, start, kv_mask)
+            attn, ck, cv = _llama_attn(lp, y, cfg, cos, sin, ck, cv, start,
+                                       kv_mask, fused_attn)
             h = h + attn
             y = nn.rms_norm(lp["post_ln"], h, cfg.rms_norm_eps)
             h = h + nn.linear(lp["down"],

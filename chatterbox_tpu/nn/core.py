@@ -39,7 +39,13 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> dict:
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"]
+    if "w_q" in p:
+        # weight-only int8 (utils/quantize.py): convert fuses into the dot's
+        # weight read; per-output-channel scale applied post-matmul
+        y = x @ p["w_q"].astype(x.dtype)
+        y = y * p["w_scale"].astype(y.dtype)
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y

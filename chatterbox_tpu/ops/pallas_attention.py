@@ -46,12 +46,19 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, out_ref):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _on_tpu() -> bool:
+    platform = jax.devices()[0].platform
+    return platform in ("tpu", "axon")
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     cur_len: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+                     cur_len: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """q: (B, H, 1, D); k/v: (B, H, T, D); cur_len: (B,) — keys at positions
     <= cur_len[b] attend. Returns (B, H, 1, D)."""
     B, H, _, D = q.shape
+    if interpret is None:
+        interpret = not _on_tpu()
 
     def one(qb, kb, vb, lb):
         return pl.pallas_call(

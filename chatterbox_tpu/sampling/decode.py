@@ -39,13 +39,15 @@ class GenResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "ignore_eos"),
+    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "ignore_eos",
+                     "fused_attn"),
 )
 def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                 text_tokens: jnp.ndarray, text_len: jnp.ndarray,
                 sp: S.SamplerParams, key,
                 *, max_new_tokens: int = 1000, top_k: int = 0,
-                cfg_mode: bool = True, ignore_eos: bool = False) -> GenResult:
+                cfg_mode: bool = True, ignore_eos: bool = False,
+                fused_attn: bool = False) -> GenResult:
     """Generate speech tokens for one utterance.
 
     Args:
@@ -153,7 +155,8 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         mask = bb.decode_mask(t_max, cur)
         hidden, cache = bb.backbone_apply_stacked(params["backbone"], stacked,
                                                   cfg, emb, cur[:, None],
-                                                  s.cache, cur, mask)
+                                                  s.cache, cur, mask,
+                                                  fused_attn=fused_attn)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         return _State(s.step + 1, logits_new, cache, seen, tokens, done, key)
 

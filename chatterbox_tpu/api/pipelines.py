@@ -340,6 +340,62 @@ class ChatterboxTurboTTS(_TTSBase):
         wav = self._tokens_to_wav(tokens[None], n_timesteps=2)
         return wav[None]
 
+    def generate_stream(self, text, audio_prompt_path=None, temperature=0.8,
+                               top_k=1000, top_p=0.95, repetition_penalty=1.2,
+                               norm_loudness=True, max_new_tokens=1000,
+                               chunk_tokens=25):
+        """Streaming synthesis: yields wav chunks as tokens are decoded.
+
+        TTFA path (north star: p50 <200 ms): prefill + first `chunk_tokens`
+        decode steps + one short vocode produce the first audio. Uses chunked
+        decode (sampling/chunked.py) + the streaming vocoder with the
+        reference's dormant finalize/source-cache hooks (serve/streaming.py).
+        NOTE: each vocode call re-runs the flow over the accumulated window —
+        ideal for sentences; use serve.streaming.synthesize_long_form for
+        narration.
+        """
+        from ..sampling.chunked import t3_prefill, t3_decode_chunk
+        from ..serve.streaming import StreamingVocoder
+
+        if audio_prompt_path:
+            self.prepare_conditionals(audio_prompt_path, norm_loudness=norm_loudness)
+        else:
+            assert self.conds is not None
+
+        text = punc_norm(text, variant="turbo")
+        ids = np.asarray(self.tokenizer.text_to_tokens(text)).reshape(-1)
+        bucket = text_bucket(len(ids))
+        text_tokens = np.zeros((1, bucket), np.int32)
+        text_tokens[0, : len(ids)] = ids
+
+        sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=0.0,
+                                repetition_penalty=repetition_penalty, cfg_weight=0.0)
+        state = t3_prefill(self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                           jnp.asarray(text_tokens), jnp.asarray(len(ids)),
+                           self._next_key(), max_new_tokens=max_new_tokens,
+                           cfg_mode=False)
+        voc = StreamingVocoder(self.s3gen, self.conds.gen, self._next_key())
+        total = 0
+        while total < max_new_tokens:
+            state, toks, n_new = t3_decode_chunk(
+                self.t3_params, self.hp, state, sp, n_steps=chunk_tokens,
+                top_k=top_k, cfg_mode=False)
+            n = int(n_new)
+            done = bool(state.done) or (total + n >= max_new_tokens) or n == 0
+            toks = np.asarray(toks)[:n]
+            toks = toks[toks < SPEECH_VOCAB_SIZE]
+            if done:
+                toks = np.concatenate([toks, [S3GEN_SIL] * 3])  # ref: tts_turbo.py:310
+            total += n
+            chunk = voc.feed(toks, final=done)
+            if len(chunk):
+                yield self.watermarker.apply_watermark(chunk, sample_rate=self.sr)
+            if done:
+                break
+
+
+
+
 
 class ChatterboxMultilingualTTS(_TTSBase):
     """23-language pipeline (ref: mtl_tts.py:155-355)."""

@@ -1,0 +1,145 @@
+"""Chunked T3 decode: prefill + fixed-size decode chunks with explicit
+on-device state.
+
+This is the time-to-first-audio (TTFA) path: instead of decoding all
+max_new_tokens in one jitted call (sampling/decode.py), the caller prefills
+once and then pulls tokens in chunks (e.g. 13–25 ≈ 0.5–1 s of audio),
+starting vocoding as soon as the first chunk lands
+(serve/streaming.StreamingVocoder). State (KV cache, sampler history, RNG)
+never leaves the device; chunk calls donate it.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.t3 import backbone as bb
+from ..models.t3 import model as t3m
+from ..models.t3.config import T3Config
+from ..ops import sampling as S
+
+
+class DecodeState(NamedTuple):
+    cache: bb.KVCache
+    logits: jnp.ndarray        # (B, V) logits at the current position
+    seen: jnp.ndarray          # (V,) repetition history
+    step: jnp.ndarray          # () tokens generated so far
+    done: jnp.ndarray          # () bool
+    key: jnp.ndarray
+    prefill_len: jnp.ndarray   # () dense prefix length
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hp", "max_new_tokens", "cfg_mode"))
+def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
+               text_tokens: jnp.ndarray, text_len: jnp.ndarray, key,
+               *, max_new_tokens: int = 1000, cfg_mode: bool = True) -> DecodeState:
+    """Build the packed prefix, run it through the backbone, return the
+    decode state (same packing scheme as sampling/decode.py)."""
+    cfg = hp.backbone
+    Lc = t3m.cond_len(hp)
+    Ltp = text_tokens.shape[1]
+    B = 2 if cfg_mode else 1
+    P_pad = Lc + Ltp + 1
+    t_max = P_pad + max_new_tokens
+    V = hp.speech_tokens_dict_size
+
+    ce = t3m.cond_embeds(params, hp, cond)
+    ce = jnp.broadcast_to(ce, (B,) + ce.shape[1:])
+    tokens_b = jnp.broadcast_to(text_tokens, (B, Ltp))
+    te = jnp.take(params["text_emb"]["w"], tokens_b, axis=0)
+    if cfg_mode:
+        te = te * jnp.array([1.0, 0.0])[:, None, None]
+    if hp.input_pos_emb == "learned":
+        te = te + jnp.take(params["text_pos_emb"]["w"], jnp.arange(Ltp), axis=0)
+    bos = t3m.speech_embed_token(
+        params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
+        jnp.zeros((), jnp.int32))
+    dt = params["speech_emb"]["w"].dtype
+    ce, te, bos = ce.astype(dt), te.astype(dt), bos.astype(dt)
+    x = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)
+    x = jax.lax.dynamic_update_slice(x, bos, (0, Lc + text_len, 0))
+
+    prefill_len = Lc + text_len + 1
+    lens = jnp.full((B,), prefill_len, jnp.int32)
+    stacked = bb.stack_layer_params(params["backbone"]["layers"])
+    cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
+    mask = bb.prefill_mask(P_pad, t_max, lens)
+    positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
+    hidden, cache = bb.backbone_apply_stacked(
+        params["backbone"], stacked, cfg, x, positions, cache,
+        jnp.zeros((B,), jnp.int32), mask)
+    last_h = jnp.take_along_axis(
+        hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
+    logits0 = t3m.speech_logits(params, last_h).astype(jnp.float32)
+
+    seen0 = (jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
+             if cfg_mode else jnp.zeros((V,), jnp.bool_))
+    return DecodeState(cache=cache, logits=logits0, seen=seen0,
+                       step=jnp.zeros((), jnp.int32),
+                       done=jnp.zeros((), jnp.bool_), key=key,
+                       prefill_len=jnp.asarray(prefill_len, jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hp", "n_steps", "top_k", "cfg_mode",
+                                    "ignore_eos", "fused_attn"),
+                   donate_argnames=("state",))
+def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
+                    sp: S.SamplerParams,
+                    *, n_steps: int, top_k: int = 0, cfg_mode: bool = True,
+                    ignore_eos: bool = False, fused_attn: bool = False):
+    """Decode up to n_steps tokens. Returns (state, tokens (n_steps,),
+    n_new ())."""
+    cfg = hp.backbone
+    B = 2 if cfg_mode else 1
+    V = hp.speech_tokens_dict_size
+    t_max = state.cache.k.shape[3]
+    stacked = bb.stack_layer_params(params["backbone"]["layers"])
+    start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
+
+    class _C(NamedTuple):
+        i: jnp.ndarray
+        st: DecodeState
+        out: jnp.ndarray
+        n_new: jnp.ndarray
+
+    def cond_fn(c):
+        return (c.i < n_steps) & ~c.st.done
+
+    def body_fn(c):
+        s = c.st
+        key, sub = jax.random.split(s.key)
+        if cfg_mode:
+            logits = S.process_logits_cfg(s.logits[0], s.logits[1], s.seen, sp)
+        else:
+            pen = s.seen | (start_onehot & (s.step == 0))
+            logits = S.process_logits_turbo(s.logits[0], pen, sp, top_k)
+        all_filtered = jnp.all(logits <= S.NEG_INF)
+        token = S.sample_categorical(sub, logits).astype(jnp.int32)
+        token = jnp.where(all_filtered, hp.stop_speech_token, token)
+
+        out = c.out.at[c.i].set(token)
+        seen = s.seen.at[token].set(True)
+        done = (jnp.zeros((), jnp.bool_) if ignore_eos
+                else token == hp.stop_speech_token)
+        emb = t3m.speech_embed_token(params, hp,
+                                     jnp.full((B,), token, jnp.int32), s.step + 1)
+        cur = jnp.full((B,), s.prefill_len + s.step, jnp.int32)
+        mask = bb.decode_mask(t_max, cur)
+        hidden, cache = bb.backbone_apply_stacked(
+            params["backbone"], stacked, cfg, emb, cur[:, None], s.cache, cur,
+            mask, fused_attn=fused_attn)
+        logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
+        st = DecodeState(cache, logits_new, seen, s.step + 1, done, key,
+                         s.prefill_len)
+        return _C(c.i + 1, st, out, c.n_new + 1)
+
+    init = _C(jnp.zeros((), jnp.int32), state,
+              jnp.full((n_steps,), hp.stop_speech_token, jnp.int32),
+              jnp.zeros((), jnp.int32))
+    f = jax.lax.while_loop(cond_fn, body_fn, init)
+    return f.st, f.out, f.n_new

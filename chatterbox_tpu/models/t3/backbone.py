@@ -119,10 +119,18 @@ class KVCache(NamedTuple):
 
 
 def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray):
-    """cache_layer (B, H, Tmax, D) <- new (B, H, t, D) at per-row offset start (B,)."""
+    """cache_layer (B, H, Tmax, D) <- new (B, H, t, D) at offset `start`.
+
+    start may be a scalar (shared offset — one dynamic_update_slice, the
+    fast path used by single-stream decode where every row is at the same
+    position) or per-row (B,) (vmapped DUS → scatter; batched serving)."""
+    new = new.astype(cache_layer.dtype)
+    if start.ndim == 0:
+        return jax.lax.dynamic_update_slice(
+            cache_layer, new, (0, 0, start, 0))
     def upd(c, n, s):
         return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
-    return jax.vmap(upd)(cache_layer, new.astype(cache_layer.dtype), start)
+    return jax.vmap(upd)(cache_layer, new, start)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +142,8 @@ def _attn_core(q, ck, cv, start, kv_mask, fused: bool):
     steps (ops/pallas_attention.py), XLA mha otherwise."""
     if fused and q.shape[2] == 1:
         from ...ops.pallas_attention import decode_attention
-        return decode_attention(q, ck, cv, start)
+        cur = jnp.broadcast_to(start, (q.shape[0],)) if start.ndim == 0 else start
+        return decode_attention(q, ck, cv, cur)
     return nn.mha(q, ck, cv, mask=kv_mask)
 
 

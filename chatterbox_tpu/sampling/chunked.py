@@ -71,7 +71,7 @@ def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
     hidden, cache = bb.backbone_apply_stacked(
         params["backbone"], stacked, cfg, x, positions, cache,
-        jnp.zeros((B,), jnp.int32), mask)
+        jnp.zeros((), jnp.int32), mask)
     last_h = jnp.take_along_axis(
         hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
     logits0 = t3m.speech_logits(params, last_h).astype(jnp.float32)
@@ -128,11 +128,12 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
                 else token == hp.stop_speech_token)
         emb = t3m.speech_embed_token(params, hp,
                                      jnp.full((B,), token, jnp.int32), s.step + 1)
-        cur = jnp.full((B,), s.prefill_len + s.step, jnp.int32)
+        pos_now = s.prefill_len + s.step
+        cur = jnp.full((B,), pos_now, jnp.int32)
         mask = bb.decode_mask(t_max, cur)
         hidden, cache = bb.backbone_apply_stacked(
-            params["backbone"], stacked, cfg, emb, cur[:, None], s.cache, cur,
-            mask, fused_attn=fused_attn)
+            params["backbone"], stacked, cfg, emb, cur[:, None], s.cache,
+            pos_now, mask, fused_attn=fused_attn)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         st = DecodeState(cache, logits_new, seen, s.step + 1, done, key,
                          s.prefill_len)

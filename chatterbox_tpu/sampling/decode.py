@@ -94,9 +94,9 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, t_max, lens)
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
-    start0 = jnp.zeros((B,), jnp.int32)
-    hidden, cache = bb.backbone_apply_stacked(params["backbone"], stacked, cfg,
-                                              x, positions, cache, start0, mask)
+    hidden, cache = bb.backbone_apply_stacked(
+        params["backbone"], stacked, cfg, x, positions, cache,
+        jnp.zeros((), jnp.int32), mask)
     last_h = jnp.take_along_axis(
         hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
     logits0 = t3m.speech_logits(params, last_h)                # (B, V)
@@ -155,7 +155,7 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         mask = bb.decode_mask(t_max, cur)
         hidden, cache = bb.backbone_apply_stacked(params["backbone"], stacked,
                                                   cfg, emb, cur[:, None],
-                                                  s.cache, cur, mask,
+                                                  s.cache, pos_now, mask,
                                                   fused_attn=fused_attn)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         return _State(s.step + 1, logits_new, cache, seen, tokens, done, key)

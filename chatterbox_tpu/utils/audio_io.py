@@ -13,7 +13,15 @@ from ..audio.resample import resample
 
 
 def load_audio(path: str, target_sr: int) -> np.ndarray:
-    """Returns mono float32 in [-1, 1] at target_sr."""
+    """Returns mono float32 in [-1, 1] at target_sr. Uses the native C++
+    reader (runtime/wavio.cpp) when built, else scipy."""
+    from ..runtime import read_wav
+    native = read_wav(str(path))
+    if native is not None:
+        wav, sr = native
+        if sr != target_sr:
+            wav = np.asarray(resample(jnp.asarray(wav), sr, target_sr))
+        return wav
     from scipy.io import wavfile
     try:
         sr, data = wavfile.read(path)
@@ -37,6 +45,9 @@ def load_audio(path: str, target_sr: int) -> np.ndarray:
 
 
 def save_wav(path: str, wav: np.ndarray, sr: int):
+    from ..runtime import write_wav
+    wav = np.clip(np.asarray(wav).reshape(-1), -1.0, 1.0).astype(np.float32)
+    if write_wav(str(path), wav, sr):
+        return
     from scipy.io import wavfile
-    wav = np.asarray(wav).reshape(-1)
-    wavfile.write(path, sr, np.clip(wav, -1.0, 1.0).astype(np.float32))
+    wavfile.write(path, sr, wav)

@@ -1,0 +1,142 @@
+"""Command-line interface.
+
+The reference ships only example scripts and Gradio apps; the framework adds
+a proper CLI:
+
+    python -m chatterbox_tpu.cli synth --model turbo --text "Hello." \
+        --audio-prompt ref.wav --out out.wav
+    python -m chatterbox_tpu.cli vc --audio in.wav --target-voice voice.wav \
+        --out out.wav
+    python -m chatterbox_tpu.cli info
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_synth(sub):
+    p = sub.add_parser("synth", help="text → speech")
+    p.add_argument("--model", choices=["english", "turbo", "nano", "multilingual"],
+                   default="turbo")
+    p.add_argument("--text", required=True)
+    p.add_argument("--out", default="out.wav")
+    p.add_argument("--audio-prompt", default=None)
+    p.add_argument("--language-id", default=None, help="multilingual only")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="local checkpoint dir (else downloads from HF)")
+    p.add_argument("--exaggeration", type=float, default=0.5)
+    p.add_argument("--cfg-weight", type=float, default=0.5)
+    p.add_argument("--temperature", type=float, default=0.8)
+    p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--top-k", type=int, default=1000)
+    p.add_argument("--repetition-penalty", type=float, default=1.2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stream", action="store_true",
+                   help="turbo/nano: stream chunks (prints TTFA)")
+
+
+def _cmd_synth(args):
+    import numpy as np
+    from chatterbox_tpu.utils.audio_io import save_wav
+
+    if args.model in ("turbo", "nano"):
+        from chatterbox_tpu import ChatterboxTurboTTS
+        nano = args.model == "nano"
+        if args.ckpt_dir:
+            model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
+        else:
+            model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
+        if args.seed:
+            model.set_seed(args.seed)
+        kw = dict(temperature=args.temperature, top_k=args.top_k,
+                  top_p=args.top_p if args.top_p is not None else 0.95,
+                  repetition_penalty=args.repetition_penalty,
+                  audio_prompt_path=args.audio_prompt)
+        if args.stream:
+            t0 = time.perf_counter()
+            chunks, ttfa = [], None
+            for c in model.generate_stream(args.text, **kw):
+                if ttfa is None:
+                    ttfa = time.perf_counter() - t0
+                    print(f"TTFA: {ttfa*1000:.0f} ms", file=sys.stderr)
+                chunks.append(c)
+            wav = np.concatenate(chunks)[None]
+        else:
+            wav = model.generate(args.text, **kw)
+    elif args.model == "english":
+        from chatterbox_tpu import ChatterboxTTS
+        model = (ChatterboxTTS.from_local(args.ckpt_dir) if args.ckpt_dir
+                 else ChatterboxTTS.from_pretrained("tpu"))
+        if args.seed:
+            model.set_seed(args.seed)
+        wav = model.generate(args.text, audio_prompt_path=args.audio_prompt,
+                             exaggeration=args.exaggeration,
+                             cfg_weight=args.cfg_weight,
+                             temperature=args.temperature,
+                             top_p=args.top_p if args.top_p is not None else 1.0,
+                             repetition_penalty=args.repetition_penalty)
+    else:
+        from chatterbox_tpu import ChatterboxMultilingualTTS
+        model = (ChatterboxMultilingualTTS.from_local(args.ckpt_dir)
+                 if args.ckpt_dir
+                 else ChatterboxMultilingualTTS.from_pretrained("tpu"))
+        if args.seed:
+            model.set_seed(args.seed)
+        wav = model.generate(args.text, language_id=args.language_id or "en",
+                             audio_prompt_path=args.audio_prompt,
+                             exaggeration=args.exaggeration,
+                             cfg_weight=args.cfg_weight,
+                             temperature=args.temperature)
+    import numpy as np
+    save_wav(args.out, np.asarray(wav)[0], model.sr)
+    print(f"wrote {args.out} ({np.asarray(wav).shape[-1] / model.sr:.2f} s)")
+
+
+def _cmd_vc(args):
+    import numpy as np
+    from chatterbox_tpu import ChatterboxVC
+    from chatterbox_tpu.utils.audio_io import save_wav
+    model = (ChatterboxVC.from_local(args.ckpt_dir) if args.ckpt_dir
+             else ChatterboxVC.from_pretrained("tpu"))
+    wav = model.generate(args.audio, target_voice_path=args.target_voice)
+    save_wav(args.out, np.asarray(wav)[0], model.sr)
+    print(f"wrote {args.out}")
+
+
+def _cmd_info(_args):
+    import jax
+    import chatterbox_tpu
+    print(json.dumps({
+        "version": chatterbox_tpu.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "sample_rate": chatterbox_tpu.S3GEN_SR,
+        "models": ["english (500M CFG)", "turbo (350M)", "nano (110M)",
+                   "multilingual (500M, 23 languages)", "vc"],
+    }, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="chatterbox_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _build_synth(sub)
+    pv = sub.add_parser("vc", help="voice conversion")
+    pv.add_argument("--audio", required=True)
+    pv.add_argument("--target-voice", default=None)
+    pv.add_argument("--out", default="out.wav")
+    pv.add_argument("--ckpt-dir", default=None)
+    sub.add_parser("info", help="environment/model info")
+    args = ap.parse_args(argv)
+    if args.cmd == "synth":
+        _cmd_synth(args)
+    elif args.cmd == "vc":
+        _cmd_vc(args)
+    elif args.cmd == "info":
+        _cmd_info(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,16 @@ def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray)
     return jax.vmap(upd)(cache_layer, new, start)
 
 
+def _write_cache_full(all_cache: jnp.ndarray, new: jnp.ndarray, layer: jnp.ndarray,
+                      start: jnp.ndarray):
+    """all_cache (L, B, H, Tmax, D) <- new (B, H, t, D) at (layer, :, :, start).
+    One in-place dynamic_update_slice on the full loop-carried buffer —
+    avoids the slice-out/slice-in round trip of per-layer cache handling.
+    Requires a scalar shared start (per-row starts use _write_cache)."""
+    return jax.lax.dynamic_update_slice(
+        all_cache, new.astype(all_cache.dtype)[None], (layer, 0, 0, start, 0))
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -249,25 +259,58 @@ def backbone_apply_stacked(params: dict, stacked_layers: dict, cfg: BackboneConf
         cos = cos.astype(x.dtype)
         sin = sin.astype(x.dtype)
 
-    def layer_fn(h, xs):
-        lp, ck, cv = xs
+    n_layers = cfg.num_layers
+
+    shared_start = start.ndim == 0
+
+    def layer_fn(i, carry):
+        h, all_k, all_v = carry
+        lp = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, False),
+                          stacked_layers)
         if cfg.is_gpt:
             y = nn.layer_norm(lp["ln1"], h, cfg.layer_norm_eps)
-            attn, ck, cv = _gpt2_attn(lp, y, cfg, ck, cv, start, kv_mask, fused_attn)
-            h = h + attn
+            qkv = nn.linear(lp["qkv"], y)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = nn.split_heads(q, cfg.num_heads)
+            k = nn.split_heads(k, cfg.num_heads)
+            v = nn.split_heads(v, cfg.num_heads)
+        else:
+            y = nn.rms_norm(lp["input_ln"], h, cfg.rms_norm_eps)
+            q = nn.split_heads(nn.linear(lp["q"], y), cfg.num_heads)
+            k = nn.split_heads(nn.linear(lp["k"], y), cfg.num_kv_heads)
+            v = nn.split_heads(nn.linear(lp["v"], y), cfg.num_kv_heads)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        if shared_start:
+            all_k = _write_cache_full(all_k, k, i, start)
+            all_v = _write_cache_full(all_v, v, i, start)
+        else:
+            ck_l = _write_cache(jax.lax.dynamic_index_in_dim(all_k, i, 0, False), k, start)
+            cv_l = _write_cache(jax.lax.dynamic_index_in_dim(all_v, i, 0, False), v, start)
+            all_k = jax.lax.dynamic_update_index_in_dim(all_k, ck_l, i, 0)
+            all_v = jax.lax.dynamic_update_index_in_dim(all_v, cv_l, i, 0)
+
+        ck = jax.lax.dynamic_index_in_dim(all_k, i, 0, False).astype(q.dtype)
+        cv = jax.lax.dynamic_index_in_dim(all_v, i, 0, False).astype(q.dtype)
+        if not cfg.is_gpt and cfg.num_kv_heads != cfg.num_heads:
+            rep = cfg.num_heads // cfg.num_kv_heads
+            ck = jnp.repeat(ck, rep, axis=1)
+            cv = jnp.repeat(cv, rep, axis=1)
+        attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
+        if cfg.is_gpt:
+            h = h + nn.linear(lp["attn_out"], nn.merge_heads(attn))
             y = nn.layer_norm(lp["ln2"], h, cfg.layer_norm_eps)
             h = h + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], y)))
         else:
-            y = nn.rms_norm(lp["input_ln"], h, cfg.rms_norm_eps)
-            attn, ck, cv = _llama_attn(lp, y, cfg, cos, sin, ck, cv, start,
-                                       kv_mask, fused_attn)
-            h = h + attn
+            h = h + nn.linear(lp["o"], nn.merge_heads(attn))
             y = nn.rms_norm(lp["post_ln"], h, cfg.rms_norm_eps)
             h = h + nn.linear(lp["down"],
                               nn.silu(nn.linear(lp["gate"], y)) * nn.linear(lp["up"], y))
-        return h, (ck, cv)
+        return h, all_k, all_v
 
-    x, (new_k, new_v) = jax.lax.scan(layer_fn, x, (stacked_layers, cache.k, cache.v))
+    x, new_k, new_v = jax.lax.fori_loop(0, n_layers, layer_fn,
+                                        (x, cache.k, cache.v))
     if cfg.is_gpt:
         x = nn.layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
     else:

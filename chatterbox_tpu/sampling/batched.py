@@ -3,9 +3,14 @@
 The reference is strictly batch-1 (ref: s3gen.py:37, gradio queue
 concurrency 1 — gradio_tts_app.py:90-93). For TPU serving the decode loop is
 where batching pays: each step is bandwidth-bound on the backbone weights, so
-B requests cost ~the same as one. This engine runs B rows with independent
-prefix lengths, EOS states and repetition histories (turbo sampling path —
-the batched-serving target is Turbo/Nano; BASELINE config 5).
+B requests cost ~the same as one.
+
+Batching scheme: prefixes are RIGHT-ALIGNED in the cache (left-padded, the
+standard batched-generation layout), so every row's next token lands in the
+SAME cache slot — KV writes are one shared dynamic_update_slice per layer
+instead of a per-row scatter. Positional indices are offset per row
+(positions = slot - pad_offset[b]) so wpe/RoPE see the same dense positions
+as an unpadded run; attention masks out the left-pad slots.
 """
 from __future__ import annotations
 
@@ -28,15 +33,16 @@ class BatchGenResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "max_new_tokens", "top_k", "ignore_eos"),
+    static_argnames=("hp", "max_new_tokens", "top_k", "ignore_eos", "fused_attn"),
 )
 def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                         text_tokens: jnp.ndarray, text_lens: jnp.ndarray,
                         sp: S.SamplerParams, key,
                         *, max_new_tokens: int = 1000, top_k: int = 1000,
-                        ignore_eos: bool = False) -> BatchGenResult:
-    """text_tokens: (B, Lt_bucket); text_lens: (B,). cond fields batched (B, ...).
-    Turbo sampling pipeline per row."""
+                        ignore_eos: bool = False,
+                        fused_attn: bool = False) -> BatchGenResult:
+    """text_tokens: (B, Lt_bucket) left-aligned int32; text_lens: (B,).
+    cond fields batched (B, ...). Turbo sampling pipeline per row."""
     cfg = hp.backbone
     B, Ltp = text_tokens.shape
     Lc = t3m.cond_len(hp)
@@ -53,23 +59,29 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         jnp.zeros((), jnp.int32))
     dt = params["speech_emb"]["w"].dtype
     ce, te, bos = ce.astype(dt), te.astype(dt), bos.astype(dt)
-    x = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)
-    # per-row BOS placement at Lc + text_lens[b]
-    x = jax.vmap(lambda xi, bi, li: jax.lax.dynamic_update_slice(xi, bi, (li, 0))
-                 )(x, bos, Lc + text_lens)
 
-    prefill_lens = Lc + text_lens + 1                            # (B,)
+    # dense prefix then ROLL right so the BOS sits at slot P_pad-1 for all rows
+    dense = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)  # (B, P_pad, D)
+    dense = jax.vmap(lambda xi, bi, li: jax.lax.dynamic_update_slice(xi, bi, (li, 0))
+                     )(dense, bos, Lc + text_lens)
+    prefix_lens = Lc + text_lens + 1                            # (B,)
+    pad = P_pad - prefix_lens                                   # left-pad per row
+    x = jax.vmap(lambda xi, p: jnp.roll(xi, p, axis=0))(dense, pad)
+
+    # positions: slot - pad (content sees 0..L-1; pad slots get junk, masked)
+    slot = jnp.arange(P_pad)[None]                              # (1, P_pad)
+    positions = jnp.maximum(slot - pad[:, None], 0)
 
     stacked = bb.stack_layer_params(params["backbone"]["layers"])
     cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
-    mask = bb.prefill_mask(P_pad, t_max, prefill_lens)
-    positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
+    # causal + left-pad mask: query q attends key k iff pad[b] <= k <= q
+    q_pos = jnp.arange(P_pad)[:, None]
+    k_pos = jnp.arange(t_max)[None, :]
+    mask = ((k_pos <= q_pos) & (k_pos[None] >= pad[:, None, None]))[:, None]
     hidden, cache = bb.backbone_apply_stacked(
         params["backbone"], stacked, cfg, x, positions, cache,
-        jnp.zeros((B,), jnp.int32), mask)
-    last_h = jnp.take_along_axis(
-        hidden, (prefill_lens - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    logits0 = t3m.speech_logits(params, last_h).astype(jnp.float32)
+        jnp.zeros((), jnp.int32), mask)
+    logits0 = t3m.speech_logits(params, hidden[:, -1]).astype(jnp.float32)
 
     start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
 
@@ -109,10 +121,13 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
             done = s.done | (token == hp.stop_speech_token)
 
         emb = t3m.speech_embed_token(params, hp, token, s.step + 1)
-        cur = prefill_lens + s.step                                   # (B,)
-        mask = bb.decode_mask(t_max, cur)
+        slot_now = P_pad + s.step                                    # shared slot
+        pos_rows = prefix_lens + s.step                              # per-row position
+        k_pos = jnp.arange(t_max)[None, :]
+        kv_mask = ((k_pos <= slot_now) & (k_pos >= pad[:, None]))[:, None, None]
         hidden, cache = bb.backbone_apply_stacked(
-            params["backbone"], stacked, cfg, emb, cur[:, None], s.cache, cur, mask)
+            params["backbone"], stacked, cfg, emb, pos_rows[:, None], s.cache,
+            slot_now, kv_mask, fused_attn=False)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         return _St(s.step + 1, logits_new, cache, seen, tokens, n, done, key)
 

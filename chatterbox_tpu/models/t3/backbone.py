@@ -191,13 +191,15 @@ def _llama_attn(lp, x, cfg: BackboneConfig, cos, sin, cache_k, cache_v, start,
 
 def backbone_apply(params: dict, cfg: BackboneConfig, embeds: jnp.ndarray,
                    positions: jnp.ndarray, cache: KVCache, start: jnp.ndarray,
-                   kv_mask: jnp.ndarray):
+                   kv_mask: jnp.ndarray, remat: bool = False):
     """Run the transformer over `embeds` (B, t, D), writing K/V into `cache`
     at per-row offset `start` (B,), attending under `kv_mask`
     (bool, broadcastable to (B, 1, t, T_max)).
 
     Used for both prefill (t = padded prefix length, start = 0) and decode
     (t = 1, start = current length). Returns (hidden, new_cache).
+    remat=True rematerializes each layer on the backward pass (training
+    memory ↔ FLOPs trade — jax.checkpoint).
     """
     x = embeds
     if cfg.is_gpt:
@@ -210,21 +212,28 @@ def backbone_apply(params: dict, cfg: BackboneConfig, embeds: jnp.ndarray,
         cos = cos.astype(x.dtype)
         sin = sin.astype(x.dtype)
 
-    new_k, new_v = [], []
-    for i, lp in enumerate(params["layers"]):
+    def layer(lp, x, ck_in, cv_in):
         if cfg.is_gpt:
             h = nn.layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
-            attn, ck, cv = _gpt2_attn(lp, h, cfg, cache.k[i], cache.v[i], start, kv_mask)
+            attn, ck, cv = _gpt2_attn(lp, h, cfg, ck_in, cv_in, start, kv_mask)
             x = x + attn
             h = nn.layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
             x = x + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], h)))
         else:
             h = nn.rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-            attn, ck, cv = _llama_attn(lp, h, cfg, cos, sin, cache.k[i], cache.v[i],
+            attn, ck, cv = _llama_attn(lp, h, cfg, cos, sin, ck_in, cv_in,
                                        start, kv_mask)
             x = x + attn
             h = nn.rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
             x = x + nn.linear(lp["down"], nn.silu(nn.linear(lp["gate"], h)) * nn.linear(lp["up"], h))
+        return x, ck, cv
+
+    if remat:
+        layer = jax.checkpoint(layer)
+
+    new_k, new_v = [], []
+    for i, lp in enumerate(params["layers"]):
+        x, ck, cv = layer(lp, x, cache.k[i], cache.v[i])
         new_k.append(ck)
         new_v.append(cv)
 

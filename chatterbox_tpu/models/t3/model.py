@@ -158,7 +158,8 @@ def text_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def t3_forward(params: dict, hp: T3Config, cond: T3CondArrays,
-               text_tokens: jnp.ndarray, speech_tokens: jnp.ndarray):
+               text_tokens: jnp.ndarray, speech_tokens: jnp.ndarray,
+               remat: bool = False):
     """Dense [cond | text | speech] forward returning (text_logits,
     speech_logits) over the text/speech segments. Static segment boundaries
     (padded inputs; mask in the loss)."""
@@ -180,7 +181,7 @@ def t3_forward(params: dict, hp: T3Config, cond: T3CondArrays,
     positions = jnp.tile(jnp.arange(T)[None], (B, 1))
     start = jnp.zeros((B,), jnp.int32)
     hidden, _ = bb.backbone_apply(params["backbone"], cfg, x, positions, cache,
-                                  start, mask)
+                                  start, mask, remat=remat)
     Lc = ce.shape[1]
     text_h = hidden[:, Lc:Lc + Lt]
     speech_h = hidden[:, Lc + Lt: Lc + Lt + Ls]
@@ -189,11 +190,12 @@ def t3_forward(params: dict, hp: T3Config, cond: T3CondArrays,
 
 def t3_loss(params: dict, hp: T3Config, cond: T3CondArrays,
             text_tokens: jnp.ndarray, text_lens: jnp.ndarray,
-            speech_tokens: jnp.ndarray, speech_lens: jnp.ndarray):
+            speech_tokens: jnp.ndarray, speech_lens: jnp.ndarray,
+            remat: bool = False):
     """Masked next-token CE losses (ref: t3.py:189-223). Reference computes
     CE of segment logits against the same-position tokens (its heads are
     trained with this alignment), masked beyond per-row lengths."""
-    tl, sl = t3_forward(params, hp, cond, text_tokens, speech_tokens)
+    tl, sl = t3_forward(params, hp, cond, text_tokens, speech_tokens, remat=remat)
 
     def masked_ce(logits, targets, lens):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -36,8 +36,9 @@ def t3_train_step(state: TrainState, hp: T3Config, optimizer,
     """One AdamW step on loss_text + loss_speech (ref loss: t3.py:189-223)."""
 
     def loss_fn(params):
+        # layer-wise remat: activation memory ~O(1 layer) during backward
         lt, ls = t3m.t3_loss(params, hp, cond, text_tokens, text_lens,
-                             speech_tokens, speech_lens)
+                             speech_tokens, speech_lens, remat=True)
         return lt + ls, (lt, ls)
 
     grads, (lt, ls) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -8,8 +8,8 @@ identical FLOPs/shapes to the published Turbo 350M checkpoint):
   + HiFT vocoder (mel → 24 kHz waveform)
 
 Serving configuration: weight-only int8 backbone (utils/quantize.py; <0.5%
-weight rounding error, validated in tests/test_quantize.py) + fused Pallas
-decode attention. Set CHATTERBOX_BENCH_BF16=1 for the plain bf16 path.
+weight rounding error, validated in tests/test_quantize.py) with in-place KV
+cache updates. Set CHATTERBOX_BENCH_BF16=1 for the plain bf16 path.
 
 xRT = seconds of audio generated per wall-clock second (≥20× is the
 BASELINE.md north-star target for Turbo on v5e).
@@ -74,8 +74,7 @@ def main():
     def t3_step(seed):
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
-                          top_k=1000, cfg_mode=False, ignore_eos=True,
-                          fused_attn=use_int8)
+                          top_k=1000, cfg_mode=False, ignore_eos=True)
         return jax.block_until_ready(res.tokens)
 
     print("compiling T3 decode ...", file=sys.stderr)

@@ -32,8 +32,8 @@ from ..s3tok.model import (S3TokenizerConfig, s3tokenizer_init,
 S3GEN_SR = 24_000
 S3_SR = 16_000
 MEL_FLOOR = float(np.log(1e-5))      # matcha mel log-clamp floor
-TOKEN_BUCKETS = (64, 128, 256, 512, 768, 1024, 1536)
-GEN_MEL_BUCKETS = (128, 256, 512, 1024, 2048, 3072)
+TOKEN_BUCKETS = (64, 128, 192, 256, 384, 512, 640, 768, 1024, 1280, 1536)
+GEN_MEL_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072)
 
 
 def _bucket(n: int, buckets) -> int:

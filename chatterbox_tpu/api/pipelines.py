@@ -31,7 +31,7 @@ from ..models.s3tok.model import S3TokenizerConfig, SPEECH_VOCAB_SIZE
 from ..models.ve import model as ve
 from ..sampling.decode import t3_generate, text_bucket
 from ..ops.sampling import SamplerParams
-from ..text.tokenizer import EnTokenizer, MTLTokenizer, punc_norm
+from ..text.tokenizer import punc_norm
 from ..utils.watermark import Watermarker
 from ..utils.loudness import norm_loudness
 from ..utils.audio_io import load_audio

@@ -14,7 +14,6 @@ concat on the batch axis (one estimator call per step, batch 2B).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

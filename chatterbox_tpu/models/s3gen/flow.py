@@ -11,7 +11,7 @@ carried as scalars with masks, so one compiled program serves a bucket.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,7 @@ TPU-first notes:
 """
 from __future__ import annotations
 
-import math
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import numpy as np
 import jax

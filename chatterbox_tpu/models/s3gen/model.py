@@ -27,7 +27,7 @@ from .flow import flow_init, flow_inference, FlowDims, TOKEN_MEL_RATIO
 from .hift import hift_init, hift_inference, TOTAL_UPSAMPLE
 from .campplus import campplus_init, campplus_embed_wav
 from ..s3tok.model import (S3TokenizerConfig, s3tokenizer_init,
-                           s3tokenizer_tokenize, SPEECH_VOCAB_SIZE)
+                           s3tokenizer_tokenize)
 
 S3GEN_SR = 24_000
 S3_SR = 16_000

@@ -18,8 +18,7 @@ Behavioral parity targets:
 """
 from __future__ import annotations
 
-import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

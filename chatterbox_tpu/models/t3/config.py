@@ -6,7 +6,7 @@ families (llama-style and gpt2-style).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

@@ -11,8 +11,6 @@ projection run jitted over the batched partials.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

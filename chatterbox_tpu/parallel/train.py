@@ -17,7 +17,7 @@ import optax
 
 from ..models.t3.config import T3Config
 from ..models.t3 import model as t3m
-from .mesh import make_mesh, shard_t3_params, replicate, shard_batch
+from .mesh import shard_t3_params
 
 
 class TrainState(NamedTuple):

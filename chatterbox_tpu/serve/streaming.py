@@ -19,7 +19,6 @@ import numpy as np
 import jax
 
 from ..models.s3gen.model import S3GenEngine, RefDict, trim_fade
-from ..models.s3gen.hift import TOTAL_UPSAMPLE
 from ..models.s3gen.flow import TOKEN_MEL_RATIO, PRE_LOOKAHEAD_LEN
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?。？！])\s+")

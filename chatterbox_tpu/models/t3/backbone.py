@@ -249,6 +249,81 @@ def stack_layer_params(layers: list) -> dict:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
+                            embeds: jnp.ndarray, positions: jnp.ndarray,
+                            cache: KVCache, start: jnp.ndarray,
+                            kv_mask: jnp.ndarray, fused_attn: bool = False):
+    """Decode-loop fast path: python-unrolled layers (STATIC weight indexing —
+    no per-layer weight gather/copy) + in-place full-cache writes.
+
+    Perf history (v5e, GPT2-medium int8, see DESIGN.md): the scan version
+    round-tripped the cache (~440 tok/s); the fori_loop version fixed the
+    cache but `dynamic_index_in_dim` on stacked weights copied every layer's
+    weights each step (~2× weight traffic, ~860 tok/s); this unrolled version
+    reads weights exactly once per step."""
+    x = embeds
+    if cfg.is_gpt:
+        pos_emb = jnp.take(params["wpe"]["w"], positions, axis=0).astype(x.dtype)
+        x = x + pos_emb
+        cos = sin = None
+    else:
+        inv_freq = jnp.asarray(llama3_inv_freq(cfg))
+        cos, sin = rope_cos_sin(inv_freq, positions)
+        cos = cos.astype(x.dtype)
+        sin = sin.astype(x.dtype)
+
+    all_k, all_v = cache.k, cache.v
+    shared_start = start.ndim == 0
+    for i, lp in enumerate(params["layers"]):
+        if cfg.is_gpt:
+            y = nn.layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
+            qkv = nn.linear(lp["qkv"], y)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = nn.split_heads(q, cfg.num_heads)
+            k = nn.split_heads(k, cfg.num_heads)
+            v = nn.split_heads(v, cfg.num_heads)
+        else:
+            y = nn.rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+            q = nn.split_heads(nn.linear(lp["q"], y), cfg.num_heads)
+            k = nn.split_heads(nn.linear(lp["k"], y), cfg.num_kv_heads)
+            v = nn.split_heads(nn.linear(lp["v"], y), cfg.num_kv_heads)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        li = jnp.asarray(i, jnp.int32)
+        if shared_start:
+            all_k = _write_cache_full(all_k, k, li, start)
+            all_v = _write_cache_full(all_v, v, li, start)
+        else:
+            ck_l = _write_cache(all_k[i], k, start)
+            cv_l = _write_cache(all_v[i], v, start)
+            all_k = all_k.at[i].set(ck_l)
+            all_v = all_v.at[i].set(cv_l)
+
+        ck = all_k[i].astype(q.dtype)
+        cv = all_v[i].astype(q.dtype)
+        if not cfg.is_gpt and cfg.num_kv_heads != cfg.num_heads:
+            rep = cfg.num_heads // cfg.num_kv_heads
+            ck = jnp.repeat(ck, rep, axis=1)
+            cv = jnp.repeat(cv, rep, axis=1)
+        attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
+        if cfg.is_gpt:
+            x = x + nn.linear(lp["attn_out"], nn.merge_heads(attn))
+            y = nn.layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
+            x = x + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], y)))
+        else:
+            x = x + nn.linear(lp["o"], nn.merge_heads(attn))
+            y = nn.rms_norm(lp["post_ln"], x, cfg.rms_norm_eps)
+            x = x + nn.linear(lp["down"],
+                              nn.silu(nn.linear(lp["gate"], y)) * nn.linear(lp["up"], y))
+
+    if cfg.is_gpt:
+        x = nn.layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
+    else:
+        x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    return x, KVCache(all_k, all_v)
+
+
 def backbone_apply_stacked(params: dict, stacked_layers: dict, cfg: BackboneConfig,
                            embeds: jnp.ndarray, positions: jnp.ndarray,
                            cache: KVCache, start: jnp.ndarray,

@@ -72,14 +72,13 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     slot = jnp.arange(P_pad)[None]                              # (1, P_pad)
     positions = jnp.maximum(slot - pad[:, None], 0)
 
-    stacked = bb.stack_layer_params(params["backbone"]["layers"])
     cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     # causal + left-pad mask: query q attends key k iff pad[b] <= k <= q
     q_pos = jnp.arange(P_pad)[:, None]
     k_pos = jnp.arange(t_max)[None, :]
     mask = ((k_pos <= q_pos) & (k_pos[None] >= pad[:, None, None]))[:, None]
-    hidden, cache = bb.backbone_apply_stacked(
-        params["backbone"], stacked, cfg, x, positions, cache,
+    hidden, cache = bb.backbone_apply_unrolled(
+        params["backbone"], cfg, x, positions, cache,
         jnp.zeros((), jnp.int32), mask)
     logits0 = t3m.speech_logits(params, hidden[:, -1]).astype(jnp.float32)
 
@@ -125,9 +124,9 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         pos_rows = prefix_lens + s.step                              # per-row position
         k_pos = jnp.arange(t_max)[None, :]
         kv_mask = ((k_pos <= slot_now) & (k_pos >= pad[:, None]))[:, None, None]
-        hidden, cache = bb.backbone_apply_stacked(
-            params["backbone"], stacked, cfg, emb, pos_rows[:, None], s.cache,
-            slot_now, kv_mask, fused_attn=False)
+        hidden, cache = bb.backbone_apply_unrolled(
+            params["backbone"], cfg, emb, pos_rows[:, None], s.cache,
+            slot_now, kv_mask)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         return _St(s.step + 1, logits_new, cache, seen, tokens, n, done, key)
 

@@ -65,12 +65,11 @@ def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
 
     prefill_len = Lc + text_len + 1
     lens = jnp.full((B,), prefill_len, jnp.int32)
-    stacked = bb.stack_layer_params(params["backbone"]["layers"])
     cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, t_max, lens)
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
-    hidden, cache = bb.backbone_apply_stacked(
-        params["backbone"], stacked, cfg, x, positions, cache,
+    hidden, cache = bb.backbone_apply_unrolled(
+        params["backbone"], cfg, x, positions, cache,
         jnp.zeros((), jnp.int32), mask)
     last_h = jnp.take_along_axis(
         hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
@@ -98,7 +97,6 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
     B = 2 if cfg_mode else 1
     V = hp.speech_tokens_dict_size
     t_max = state.cache.k.shape[3]
-    stacked = bb.stack_layer_params(params["backbone"]["layers"])
     start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
 
     class _C(NamedTuple):
@@ -131,8 +129,8 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
         pos_now = s.prefill_len + s.step
         cur = jnp.full((B,), pos_now, jnp.int32)
         mask = bb.decode_mask(t_max, cur)
-        hidden, cache = bb.backbone_apply_stacked(
-            params["backbone"], stacked, cfg, emb, cur[:, None], s.cache,
+        hidden, cache = bb.backbone_apply_unrolled(
+            params["backbone"], cfg, emb, cur[:, None], s.cache,
             pos_now, mask, fused_attn=fused_attn)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         st = DecodeState(cache, logits_new, seen, s.step + 1, done, key,

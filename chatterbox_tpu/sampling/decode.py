@@ -88,14 +88,11 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     lens = jnp.full((B,), prefill_len, jnp.int32)
 
     # ---- prefill ----------------------------------------------------------
-    # stack per-layer params once per call: the decode loop then scans over
-    # layers (single traced layer body, in-place KV cache aliasing)
-    stacked = bb.stack_layer_params(params["backbone"]["layers"])
     cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, t_max, lens)
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
-    hidden, cache = bb.backbone_apply_stacked(
-        params["backbone"], stacked, cfg, x, positions, cache,
+    hidden, cache = bb.backbone_apply_unrolled(
+        params["backbone"], cfg, x, positions, cache,
         jnp.zeros((), jnp.int32), mask)
     last_h = jnp.take_along_axis(
         hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
@@ -153,7 +150,7 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         pos_now = prefill_len + s.step
         cur = jnp.full((B,), pos_now, jnp.int32)
         mask = bb.decode_mask(t_max, cur)
-        hidden, cache = bb.backbone_apply_stacked(params["backbone"], stacked,
+        hidden, cache = bb.backbone_apply_unrolled(params["backbone"],
                                                   cfg, emb, cur[:, None],
                                                   s.cache, pos_now, mask,
                                                   fused_attn=fused_attn)

@@ -5,7 +5,8 @@ TPU-native design — not a port of HF modeling code:
     cache in one shot) and one single-token decode function (reads the cache
     with a length mask) — both pure and jittable with static shapes;
   * KV cache is a preallocated (L, B, H, Tmax, D) pair, donated across decode
-    steps inside a `lax.while_loop` (see sampling/decode.py);
+    steps inside a `lax.while_loop` (see sampling/decode.py) via direct
+    dynamic_update_slice on the full (L,B,H,T,D) buffers;
   * classifier-free guidance rides the batch axis (B=2), so cond+uncond is a
     single forward — no second pass (ref behavior: models/t3/t3.py:310-344);
   * bf16 matmul-friendly: params can be cast with utils.dtypes.cast_params.
@@ -243,12 +244,6 @@ def backbone_apply(params: dict, cfg: BackboneConfig, embeds: jnp.ndarray,
     return x, KVCache(jnp.stack(new_k), jnp.stack(new_v))
 
 
-def stack_layer_params(layers: list) -> dict:
-    """Stack per-layer param pytrees into leading-axis-L arrays (for
-    lax.scan over layers — one traced layer, in-place cache aliasing)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-
-
 def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
                             embeds: jnp.ndarray, positions: jnp.ndarray,
                             cache: KVCache, start: jnp.ndarray,
@@ -322,83 +317,6 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
     else:
         x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     return x, KVCache(all_k, all_v)
-
-
-def backbone_apply_stacked(params: dict, stacked_layers: dict, cfg: BackboneConfig,
-                           embeds: jnp.ndarray, positions: jnp.ndarray,
-                           cache: KVCache, start: jnp.ndarray,
-                           kv_mask: jnp.ndarray, fused_attn: bool = False):
-    """Same contract as backbone_apply but scans over stacked layer params.
-    This is the hot path used by the decode engine: one compiled layer body,
-    KV cache threaded through scan so XLA updates it in place."""
-    x = embeds
-    if cfg.is_gpt:
-        pos_emb = jnp.take(params["wpe"]["w"], positions, axis=0).astype(x.dtype)
-        x = x + pos_emb
-        cos = sin = None
-    else:
-        inv_freq = jnp.asarray(llama3_inv_freq(cfg))
-        cos, sin = rope_cos_sin(inv_freq, positions)
-        cos = cos.astype(x.dtype)
-        sin = sin.astype(x.dtype)
-
-    n_layers = cfg.num_layers
-
-    shared_start = start.ndim == 0
-
-    def layer_fn(i, carry):
-        h, all_k, all_v = carry
-        lp = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, False),
-                          stacked_layers)
-        if cfg.is_gpt:
-            y = nn.layer_norm(lp["ln1"], h, cfg.layer_norm_eps)
-            qkv = nn.linear(lp["qkv"], y)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q = nn.split_heads(q, cfg.num_heads)
-            k = nn.split_heads(k, cfg.num_heads)
-            v = nn.split_heads(v, cfg.num_heads)
-        else:
-            y = nn.rms_norm(lp["input_ln"], h, cfg.rms_norm_eps)
-            q = nn.split_heads(nn.linear(lp["q"], y), cfg.num_heads)
-            k = nn.split_heads(nn.linear(lp["k"], y), cfg.num_kv_heads)
-            v = nn.split_heads(nn.linear(lp["v"], y), cfg.num_kv_heads)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-
-        if shared_start:
-            all_k = _write_cache_full(all_k, k, i, start)
-            all_v = _write_cache_full(all_v, v, i, start)
-        else:
-            ck_l = _write_cache(jax.lax.dynamic_index_in_dim(all_k, i, 0, False), k, start)
-            cv_l = _write_cache(jax.lax.dynamic_index_in_dim(all_v, i, 0, False), v, start)
-            all_k = jax.lax.dynamic_update_index_in_dim(all_k, ck_l, i, 0)
-            all_v = jax.lax.dynamic_update_index_in_dim(all_v, cv_l, i, 0)
-
-        ck = jax.lax.dynamic_index_in_dim(all_k, i, 0, False).astype(q.dtype)
-        cv = jax.lax.dynamic_index_in_dim(all_v, i, 0, False).astype(q.dtype)
-        if not cfg.is_gpt and cfg.num_kv_heads != cfg.num_heads:
-            rep = cfg.num_heads // cfg.num_kv_heads
-            ck = jnp.repeat(ck, rep, axis=1)
-            cv = jnp.repeat(cv, rep, axis=1)
-        attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
-        if cfg.is_gpt:
-            h = h + nn.linear(lp["attn_out"], nn.merge_heads(attn))
-            y = nn.layer_norm(lp["ln2"], h, cfg.layer_norm_eps)
-            h = h + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], y)))
-        else:
-            h = h + nn.linear(lp["o"], nn.merge_heads(attn))
-            y = nn.rms_norm(lp["post_ln"], h, cfg.rms_norm_eps)
-            h = h + nn.linear(lp["down"],
-                              nn.silu(nn.linear(lp["gate"], y)) * nn.linear(lp["up"], y))
-        return h, all_k, all_v
-
-    x, new_k, new_v = jax.lax.fori_loop(0, n_layers, layer_fn,
-                                        (x, cache.k, cache.v))
-    if cfg.is_gpt:
-        x = nn.layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
-    else:
-        x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    return x, KVCache(new_k, new_v)
 
 
 def prefill_mask(t: int, t_max: int, lens: jnp.ndarray) -> jnp.ndarray:

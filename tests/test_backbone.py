@@ -145,3 +145,40 @@ class TestGPT2Parity:
             h1, cache = bb.backbone_apply(params, cfg, t2j(x[:, T0 + step: T0 + step + 1]),
                                           pos, cache, cur, mask)
             np.testing.assert_allclose(np.asarray(h1[:, 0]), ref[:, T0 + step], atol=3e-4)
+
+
+class TestUnrolledParity:
+    """The decode engines use backbone_apply_unrolled; verify it matches the
+    reference-validated backbone_apply exactly (prefill + decode step)."""
+
+    def _check(self, make_pair):
+        hf, cfg, params = make_pair()
+        torch.manual_seed(9)
+        x = torch.randn(2, 7, 64)
+        T0, t_max = 7, 16
+        lens = jnp.full((2,), T0, jnp.int32)
+        cache = bb.KVCache.zeros(cfg, 2, t_max, dtype=jnp.float32)
+        mask = bb.prefill_mask(T0, t_max, lens)
+        pos = jnp.tile(jnp.arange(T0)[None], (2, 1))
+        start = jnp.zeros((2,), jnp.int32)
+        h_ref, c_ref = bb.backbone_apply(params, cfg, t2j(x), pos, cache, start, mask)
+        h_unr, c_unr = bb.backbone_apply_unrolled(params, cfg, t2j(x), pos,
+                                                  bb.KVCache.zeros(cfg, 2, t_max, dtype=jnp.float32),
+                                                  jnp.zeros((), jnp.int32), mask)
+        np.testing.assert_allclose(np.asarray(h_unr), np.asarray(h_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_unr.k), np.asarray(c_ref.k), atol=1e-5)
+        # one decode step at a shared scalar position
+        xt = torch.randn(2, 1, 64)
+        cur_v = jnp.full((2,), T0, jnp.int32)
+        m2 = bb.decode_mask(t_max, cur_v)
+        h1, _ = bb.backbone_apply(params, cfg, t2j(xt), cur_v[:, None], c_ref,
+                                  cur_v, m2)
+        h2, _ = bb.backbone_apply_unrolled(params, cfg, t2j(xt), cur_v[:, None],
+                                           c_unr, jnp.asarray(T0, jnp.int32), m2)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-5)
+
+    def test_llama(self):
+        self._check(make_llama_pair)
+
+    def test_gpt2(self):
+        self._check(make_gpt2_pair)

@@ -212,6 +212,58 @@ class S3GenEngine:
         return wav
 
     # ------------------------------------------------------------------
+    # batched inference (serving: one flow + one vocoder call for B requests)
+    # ------------------------------------------------------------------
+    def inference_batch(self, token_rows: list, refs: list, key,
+                        n_timesteps: Optional[int] = None) -> list:
+        """B requests (possibly different voices) vocoded together.
+
+        token_rows: list of (G_i,) int arrays; refs: list of RefDict.
+        Returns a list of (T_i,) waveforms. All rows share one bucketed flow
+        call (per-row prompt/gen lengths masked) and one HiFT call.
+        """
+        B = len(token_rows)
+        assert B == len(refs) and B >= 1
+        Ps = [int(r.prompt_token_len[0]) for r in refs]
+        Gs = [len(np.asarray(t).reshape(-1)) for t in token_rows]
+        bucket = _bucket(max(p + g for p, g in zip(Ps, Gs)), TOKEN_BUCKETS)
+        tokens = np.zeros((B, bucket), np.int32)
+        for i, (r, t) in enumerate(zip(refs, token_rows)):
+            tokens[i, : Ps[i]] = r.prompt_token[0, : Ps[i]]
+            tokens[i, Ps[i]: Ps[i] + Gs[i]] = np.asarray(t).reshape(-1)
+        feat_T = max(r.prompt_feat.shape[1] for r in refs)
+        feats = np.zeros((B, feat_T, 80), np.float32)
+        for i, r in enumerate(refs):
+            feats[i, : r.prompt_feat.shape[1]] = r.prompt_feat[0]
+        embs = np.concatenate([r.embedding for r in refs], axis=0)
+
+        key, k_noise, k_hift = jax.random.split(key, 3)
+        noise = None
+        if self.meanflow:
+            noise = jax.random.normal(k_noise, (B, bucket * TOKEN_MEL_RATIO, 80))
+        mels = np.asarray(self._flow(
+            self.params, jnp.asarray(tokens),
+            jnp.asarray([p + g for p, g in zip(Ps, Gs)]),
+            jnp.asarray(Ps), jnp.asarray(feats), jnp.asarray(embs), key, noise,
+            n_timesteps=n_timesteps or self.n_timesteps))
+
+        # per-row prompt slice, pack into one vocoder batch
+        gen_lens = [g * TOKEN_MEL_RATIO for g in Gs]
+        mel_bucket = _bucket(max(gen_lens), GEN_MEL_BUCKETS)
+        gen = np.full((B, mel_bucket, 80), MEL_FLOOR, np.float32)
+        for i in range(B):
+            s = Ps[i] * TOKEN_MEL_RATIO
+            gen[i, : gen_lens[i]] = mels[i, s: s + gen_lens[i]]
+        wavs, _ = self._hift(self.params, jnp.asarray(gen), k_hift)
+        wavs = np.array(wavs)
+        out = []
+        for i in range(B):
+            w = wavs[i, : gen_lens[i] * TOTAL_UPSAMPLE]
+            w[: len(self._trim_fade)] *= self._trim_fade
+            out.append(w)
+        return out
+
+    # ------------------------------------------------------------------
     # wav → tokens (for VC; ref: vc.py:94-97)
     # ------------------------------------------------------------------
     def tokenize(self, wav_16k: np.ndarray, max_len: Optional[int] = None):

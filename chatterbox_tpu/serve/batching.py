@@ -89,6 +89,28 @@ class BatchDecoder:
         return out
 
 
+class TTSServer:
+    """End-to-end batched TTS serving: batched T3 decode + one batched
+    S3Gen flow/vocoder call per batch (models/s3gen/model.py
+    inference_batch). Requests may carry different voices (RefDicts)."""
+
+    def __init__(self, decoder: BatchDecoder, s3gen, seed: int = 0):
+        self.decoder = decoder
+        self.s3gen = s3gen
+        self._key = jax.random.key(seed + 1)
+
+    def synthesize_batch(self, requests: list[TTSRequest],
+                         refs: list) -> list[np.ndarray]:
+        """refs[i] is the S3Gen RefDict for requests[i]. Returns wavs ordered
+        like `requests`."""
+        results = self.decoder.decode_batch(requests)
+        by_id = {r.request_id: r for r in results}
+        ordered = [by_id[req.request_id] for req in requests]
+        token_rows = [r.speech_tokens for r in ordered]
+        self._key, k = jax.random.split(self._key)
+        return self.s3gen.inference_batch(token_rows, refs, k)
+
+
 class ServingLoop:
     """A minimal continuous-serving loop: collects requests from a queue into
     batches (up to max_batch or a wait timeout) and invokes a result callback.

@@ -100,3 +100,57 @@ class TestChunkText:
 
     def test_single_chunk(self):
         assert chunk_text("Short text.") == ["Short text."]
+
+
+class TestBatchedS3Gen:
+    def test_inference_batch_matches_single(self):
+        """Batched vocoding must be row-independent and shape-correct."""
+        from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, S3GEN_SR
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(0), tok_cfg=tok_cfg, dims=dims,
+                                     hift_base=32),
+                          tok_cfg=tok_cfg, dims=dims, n_timesteps=2)
+        rng = np.random.default_rng(0)
+        refs = []
+        for i in range(2):
+            wav = (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32)
+            refs.append(eng.embed_ref(wav, S3GEN_SR))
+        rows = [rng.integers(0, 6561, 20).astype(np.int32),
+                rng.integers(0, 6561, 12).astype(np.int32)]
+        wavs = eng.inference_batch(rows, refs, jax.random.key(3))
+        assert len(wavs) == 2
+        assert len(wavs[0]) == 20 * 2 * 480
+        assert len(wavs[1]) == 12 * 2 * 480
+        for w in wavs:
+            assert np.isfinite(w).all()
+            assert np.abs(w[:480]).max() == 0.0  # trim fade applied per row
+
+    def test_tts_server_end_to_end(self, setup):
+        from chatterbox_tpu.serve.batching import TTSServer
+        from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, S3GEN_SR
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        hp, params = setup
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(1), tok_cfg=tok_cfg, dims=dims,
+                                     hift_base=32),
+                          tok_cfg=tok_cfg, dims=dims, n_timesteps=2)
+        dec = BatchDecoder(params, hp, max_batch=4, max_new_tokens=6, top_k=40)
+        server = TTSServer(dec, eng)
+        cond = T3CondHost(np.zeros((1, 256), np.float32),
+                          np.zeros((1, hp.speech_cond_prompt_len), np.int32))
+        reqs = [TTSRequest(text_tokens=np.arange(1, 6, dtype=np.int32),
+                           cond=cond, request_id=i) for i in range(3)]
+        rng = np.random.default_rng(4)
+        refs = []
+        for i in range(3):
+            wav = (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32)
+            refs.append(eng.embed_ref(wav, S3GEN_SR))
+        wavs = server.synthesize_batch(reqs, refs)
+        assert len(wavs) == 3
+        for w in wavs:
+            assert np.isfinite(w).all() and len(w) > 0

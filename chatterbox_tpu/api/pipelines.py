@@ -83,9 +83,11 @@ class Conditionals:
     gen: RefDict
 
     def save(self, fpath):
+        tok = self.t3.cond_prompt_speech_tokens
         np.savez(fpath,
                  speaker_emb=self.t3.speaker_emb,
-                 cond_prompt_speech_tokens=self.t3.cond_prompt_speech_tokens,
+                 cond_prompt_speech_tokens=(np.zeros((1, 0), np.int32)
+                                            if tok is None else tok),
                  emotion_adv=np.float32(self.t3.emotion_adv),
                  prompt_token=self.gen.prompt_token,
                  prompt_token_len=self.gen.prompt_token_len,
@@ -99,8 +101,9 @@ class Conditionals:
             from ..convert.weights import load_conds_pt
             return load_conds_pt(fpath)
         z = np.load(fpath)
+        tok = z["cond_prompt_speech_tokens"]
         return cls(
-            T3CondHost(z["speaker_emb"], z["cond_prompt_speech_tokens"],
+            T3CondHost(z["speaker_emb"], None if tok.size == 0 else tok,
                        float(z["emotion_adv"])),
             RefDict(z["prompt_token"], z["prompt_token_len"], z["prompt_feat"],
                     z["embedding"]),

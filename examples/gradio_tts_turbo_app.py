@@ -11,8 +11,8 @@ from chatterbox_tpu import ChatterboxTurboTTS
 
 # paralinguistic event tags supported by the Turbo checkpoint
 # (ref: gradio_tts_turbo_app.py:9-12)
-EVENT_TAGS = ["<giggle>", "<laugh>", "<chuckle>", "<sigh>", "<cough>",
-              "<sniffle>", "<groan>", "<yawn>", "<gasp>", "<clear_throat>"]
+EVENT_TAGS = ["[clear throat]", "[sigh]", "[shush]", "[cough]", "[groan]",
+              "[sniff]", "[gasp]", "[chuckle]", "[laugh]"]
 
 MODEL = None
 

@@ -173,6 +173,8 @@ class TestResample:
     def test_matches_torchaudio_functional(self):
         # compare against torchaudio's pure-torch resample implementation
         torchaudio = pytest.importorskip("torchaudio")
+        if not hasattr(torchaudio, "functional"):  # stubbed by test_campplus
+            pytest.skip("torchaudio is a test stub")
         wav = _rand_wav(24000, seed=7)
         ref = torchaudio.functional.resample(torch.from_numpy(wav), 24000, 16000)
         ours = np.asarray(resample(jnp.asarray(wav), 24000, 16000))

@@ -20,4 +20,11 @@ import jax  # noqa: E402  (import after env setup)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite is dominated by repeated XLA CPU
+# compiles of tiny models; cache them across tests AND across runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()

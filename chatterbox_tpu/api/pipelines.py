@@ -246,10 +246,11 @@ class ChatterboxTTS(_TTSBase):
         sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
                                 repetition_penalty=repetition_penalty,
                                 cfg_weight=cfg_weight)
+        # batch-1 when cfg_weight==0, like the reference (ref: tts.py:237-238)
         res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
                           jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
                           self._next_key(), max_new_tokens=max_new_tokens,
-                          cfg_mode=True)
+                          cfg_mode=True, cfg_batch2=cfg_weight > 0)
         n = int(res.n_tokens)
         tokens = np.asarray(res.tokens)[:n]
         tokens = drop_invalid_tokens_sliced(tokens)          # ref: tts.py:260
@@ -457,6 +458,8 @@ class ChatterboxMultilingualTTS(_TTSBase):
         sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
                                 repetition_penalty=repetition_penalty,
                                 cfg_weight=cfg_weight)
+        # NOTE: the reference MTL path always duplicates for CFG
+        # (ref: mtl_tts.py:317) — keep batch-2 unconditionally here.
         res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
                           jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
                           self._next_key(), max_new_tokens=max_new_tokens,

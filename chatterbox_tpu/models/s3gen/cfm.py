@@ -101,7 +101,8 @@ def cfm_inference(params: dict, mu: jnp.ndarray, mask: jnp.ndarray,
     noise: optional pre-drawn noise for the *generated* region (meanflow mode
     pre-draws it — ref: s3gen.py:313-316); it is placed after `prompt_len`
     frames, matching `z[..., prompt_len:] = noised_mels`
-    (ref: flow_matching.py:218-220).
+    (ref: flow_matching.py:218-220). `prompt_len` may be a scalar or a (B,)
+    array of per-row prompt-mel offsets (heterogeneous batched serving).
     """
     z = jax.random.normal(key, mu.shape, mu.dtype)
     if noise is not None:
@@ -110,8 +111,10 @@ def cfm_inference(params: dict, mu: jnp.ndarray, mask: jnp.ndarray,
         else:
             T = mu.shape[1]
             idx = jnp.arange(T)[None, :, None]
-            shifted = jnp.roll(noise, prompt_len, axis=1)
-            z = jnp.where(idx >= prompt_len, shifted, z)
+            plen = jnp.asarray(prompt_len).reshape(-1)        # (B,) or (1,)
+            shifted = jax.vmap(lambda n, p: jnp.roll(n, p, axis=0))(
+                jnp.broadcast_to(noise, mu.shape), jnp.broadcast_to(plen, (mu.shape[0],)))
+            z = jnp.where(idx >= plen[:, None, None], shifted, z)
     span = t_span_linear(n_timesteps) if meanflow else t_span_cosine(n_timesteps)
     t_span = jnp.asarray(span)
     if meanflow:

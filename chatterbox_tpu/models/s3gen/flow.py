@@ -119,6 +119,6 @@ def flow_inference(params: dict, *,
     mels = cfm_inference(params["decoder"], mu, mask_mel, spks, conds, key,
                          n_timesteps=n_timesteps, meanflow=meanflow,
                          noise=noise,
-                         prompt_len=prompt_mel_len[0] if noise is not None else None,
+                         prompt_len=prompt_mel_len if noise is not None else None,
                          n_heads=dims.unet_heads)
     return mels

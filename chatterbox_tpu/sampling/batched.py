@@ -11,6 +11,15 @@ SAME cache slot — KV writes are one shared dynamic_update_slice per layer
 instead of a per-row scatter. Positional indices are offset per row
 (positions = slot - pad_offset[b]) so wpe/RoPE see the same dense positions
 as an unpadded run; attention masks out the left-pad slots.
+
+Multi-tenant semantics:
+  * per-row PRNG keys (`keys`: a (B,) key array) — a row's sampled tokens are
+    a pure function of its own key/prompt/sampler, invariant to batchmates;
+  * per-row SamplerParams — each field may be a scalar (shared) or a (B,)
+    vector (heterogeneous temperatures/top_p/penalties per request);
+  * cfg_mode=True runs the 520M CFG family (ref loop: t3.py:338-386) as
+    2B rows — cond rows [0,B), uncond rows [B,2B) with zeroed text embeds
+    (ref: t3.py:113-114) — with the rep→temp→min_p→top_p chain per row.
 """
 from __future__ import annotations
 
@@ -33,38 +42,51 @@ class BatchGenResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "max_new_tokens", "top_k", "ignore_eos", "fused_attn"),
+    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "ignore_eos",
+                     "fused_attn"),
 )
 def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                         text_tokens: jnp.ndarray, text_lens: jnp.ndarray,
-                        sp: S.SamplerParams, key,
+                        sp: S.SamplerParams, keys,
                         *, max_new_tokens: int = 1000, top_k: int = 1000,
+                        cfg_mode: bool = False,
                         ignore_eos: bool = False,
                         fused_attn: bool = False) -> BatchGenResult:
     """text_tokens: (B, Lt_bucket) left-aligned int32; text_lens: (B,).
-    cond fields batched (B, ...). Turbo sampling pipeline per row."""
+    cond fields batched (B, ...). keys: (B,) jax key array — one per row.
+    sp fields: scalar (shared) or (B,) per-request."""
     cfg = hp.backbone
     B, Ltp = text_tokens.shape
     Lc = t3m.cond_len(hp)
     P_pad = Lc + Ltp + 1
     t_max = P_pad + max_new_tokens
     V = hp.speech_tokens_dict_size
+    Bp = 2 * B if cfg_mode else B          # physical rows in the forward
+
+    # normalize sampler fields to (B|1, 1) so they broadcast over (B, V)
+    sp = S.SamplerParams(*[jnp.asarray(v, jnp.float32).reshape(-1, 1) for v in sp])
 
     ce = t3m.cond_embeds(params, hp, cond)                      # (B, Lc, D)
     te = jnp.take(params["text_emb"]["w"], text_tokens, axis=0)
     if hp.input_pos_emb == "learned":
         te = te + jnp.take(params["text_pos_emb"]["w"], jnp.arange(Ltp), axis=0)
+    if cfg_mode:
+        # uncond half: same cond prefix, zeroed text embeds (ref: t3.py:113-114)
+        ce = jnp.concatenate([ce, ce], axis=0)
+        te = jnp.concatenate([te, jnp.zeros_like(te)], axis=0)
     bos = t3m.speech_embed_token(
-        params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
+        params, hp, jnp.full((Bp,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))
     dt = params["speech_emb"]["w"].dtype
     ce, te, bos = ce.astype(dt), te.astype(dt), bos.astype(dt)
 
+    lens_p = jnp.tile(text_lens, 2) if cfg_mode else text_lens  # (Bp,)
+
     # dense prefix then ROLL right so the BOS sits at slot P_pad-1 for all rows
-    dense = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)  # (B, P_pad, D)
+    dense = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)  # (Bp, P_pad, D)
     dense = jax.vmap(lambda xi, bi, li: jax.lax.dynamic_update_slice(xi, bi, (li, 0))
-                     )(dense, bos, Lc + text_lens)
-    prefix_lens = Lc + text_lens + 1                            # (B,)
+                     )(dense, bos, Lc + lens_p)
+    prefix_lens = Lc + lens_p + 1                               # (Bp,)
     pad = P_pad - prefix_lens                                   # left-pad per row
     x = jax.vmap(lambda xi, p: jnp.roll(xi, p, axis=0))(dense, pad)
 
@@ -72,7 +94,7 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     slot = jnp.arange(P_pad)[None]                              # (1, P_pad)
     positions = jnp.maximum(slot - pad[:, None], 0)
 
-    cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
+    cache = bb.KVCache.zeros(cfg, Bp, t_max, dtype=jnp.bfloat16)
     # causal + left-pad mask: query q attends key k iff pad[b] <= k <= q
     q_pos = jnp.arange(P_pad)[:, None]
     k_pos = jnp.arange(t_max)[None, :]
@@ -83,31 +105,41 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     logits0 = t3m.speech_logits(params, hidden[:, -1]).astype(jnp.float32)
 
     start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
+    # CFG family seeds the rep-penalty history with the BOS token
+    # (matches sampling/decode.py's single-request engine)
+    seen0 = (jnp.broadcast_to(start_onehot[None], (B, V)) if cfg_mode
+             else jnp.zeros((B, V), jnp.bool_))
 
     class _St(NamedTuple):
         step: jnp.ndarray
-        logits: jnp.ndarray       # (B, V)
+        logits: jnp.ndarray       # (Bp, V)
         cache: bb.KVCache
         seen: jnp.ndarray         # (B, V)
         tokens: jnp.ndarray       # (B, max_new)
         n: jnp.ndarray            # (B,)
         done: jnp.ndarray         # (B,)
-        key: jnp.ndarray
+        keys: jnp.ndarray         # (B,) key array
 
-    init = _St(jnp.zeros((), jnp.int32), logits0, cache,
-               jnp.zeros((B, V), jnp.bool_),
+    init = _St(jnp.zeros((), jnp.int32), logits0, cache, seen0,
                jnp.full((B, max_new_tokens), hp.stop_speech_token, jnp.int32),
                jnp.zeros((B,), jnp.int32),
-               jnp.zeros((B,), jnp.bool_), key)
+               jnp.zeros((B,), jnp.bool_), keys)
 
     def cond_fn(s):
         return (s.step < max_new_tokens) & ~jnp.all(s.done)
 
     def body_fn(s):
-        key, sub = jax.random.split(s.key)
-        pen = s.seen | (start_onehot[None] & (s.step == 0))
-        logits = S.process_logits_turbo(s.logits, pen, sp, top_k)
-        token = S.sample_categorical(sub, logits).astype(jnp.int32)   # (B,)
+        pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(s.keys)
+        keys_next, subs = pairs[:, 0], pairs[:, 1]
+        if cfg_mode:
+            logits = S.process_logits_cfg(s.logits[:B], s.logits[B:], s.seen, sp)
+        else:
+            pen = s.seen | (start_onehot[None] & (s.step == 0))
+            logits = S.process_logits_turbo(s.logits, pen, sp, top_k)
+        # all-(-inf) guard per row (ref: t3.py:450-452)
+        all_filtered = jnp.all(logits <= S.NEG_INF, axis=-1)
+        token = jax.vmap(S.sample_categorical)(subs, logits).astype(jnp.int32)
+        token = jnp.where(all_filtered, hp.stop_speech_token, token)   # (B,)
 
         active = ~s.done
         tokens = s.tokens.at[jnp.arange(B), s.step].set(
@@ -119,16 +151,17 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         else:
             done = s.done | (token == hp.stop_speech_token)
 
-        emb = t3m.speech_embed_token(params, hp, token, s.step + 1)
+        token_p = jnp.tile(token, 2) if cfg_mode else token
+        emb = t3m.speech_embed_token(params, hp, token_p, s.step + 1)
         slot_now = P_pad + s.step                                    # shared slot
         pos_rows = prefix_lens + s.step                              # per-row position
         k_pos = jnp.arange(t_max)[None, :]
         kv_mask = ((k_pos <= slot_now) & (k_pos >= pad[:, None]))[:, None, None]
         hidden, cache = bb.backbone_apply_unrolled(
             params["backbone"], cfg, emb, pos_rows[:, None], s.cache,
-            slot_now, kv_mask)
+            slot_now, kv_mask, fused_attn=fused_attn)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
-        return _St(s.step + 1, logits_new, cache, seen, tokens, n, done, key)
+        return _St(s.step + 1, logits_new, cache, seen, tokens, n, done, keys_next)
 
     f = jax.lax.while_loop(cond_fn, body_fn, init)
     return BatchGenResult(tokens=f.tokens, n_tokens=f.n)

@@ -39,27 +39,32 @@ class GenResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "ignore_eos",
-                     "fused_attn"),
+    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "cfg_batch2",
+                     "ignore_eos", "fused_attn"),
 )
 def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                 text_tokens: jnp.ndarray, text_len: jnp.ndarray,
                 sp: S.SamplerParams, key,
                 *, max_new_tokens: int = 1000, top_k: int = 0,
-                cfg_mode: bool = True, ignore_eos: bool = False,
+                cfg_mode: bool = True, cfg_batch2: bool = True,
+                ignore_eos: bool = False,
                 fused_attn: bool = False) -> GenResult:
     """Generate speech tokens for one utterance.
 
     Args:
       text_tokens: (1, Lt_bucket) int32, SOT/EOT framed, right-padded.
       text_len: () int32 — true length including SOT/EOT.
-      cfg_mode: True → 520M CFG pipeline (batch-2, rep→temp→min_p→top_p);
+      cfg_mode: True → 520M CFG pipeline (rep→temp→min_p→top_p);
                 False → Turbo pipeline (batch-1, temp→top_k→top_p→rep).
+      cfg_batch2: with cfg_mode, run the cond+uncond batch-2 forward. The
+                reference runs batch-1 when cfg_weight==0 (ref: tts.py:237-238)
+                — pass False there to halve decode cost (the combine is the
+                identity at w=0, so outputs match the batch-2 program).
     """
     cfg = hp.backbone
     Lc = t3m.cond_len(hp)
     Ltp = text_tokens.shape[1]
-    B = 2 if cfg_mode else 1
+    B = 2 if (cfg_mode and cfg_batch2) else 1
     P_pad = Lc + Ltp + 1
     t_max = P_pad + max_new_tokens
     V = hp.speech_tokens_dict_size
@@ -69,7 +74,7 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     ce = jnp.broadcast_to(ce, (B,) + ce.shape[1:])
     tokens_b = jnp.broadcast_to(text_tokens, (B, Ltp))
     te = jnp.take(params["text_emb"]["w"], tokens_b, axis=0)  # (B, Ltp, D)
-    if cfg_mode:
+    if cfg_mode and cfg_batch2:
         # uncond row: zero the text token embeddings (ref: t3.py:113-114)
         te = te * jnp.array([1.0, 0.0])[:, None, None]
     if hp.input_pos_emb == "learned":
@@ -127,7 +132,9 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     def body_fn(s: _State):
         key, sub = jax.random.split(s.key)
         if cfg_mode:
-            logits = S.process_logits_cfg(s.logits[0], s.logits[1], s.seen, sp)
+            # without the uncond row the combine is the identity (w=0 path)
+            uncond = s.logits[1] if cfg_batch2 else s.logits[0]
+            logits = S.process_logits_cfg(s.logits[0], uncond, s.seen, sp)
         else:
             # turbo penalizes only the start token on step 0, then only
             # generated tokens (ref: t3.py:428, 448-449)

@@ -29,10 +29,12 @@ from ..ops.sampling import SamplerParams
 
 @dataclasses.dataclass
 class TTSRequest:
-    text_tokens: np.ndarray            # (Lt,) raw BPE ids (turbo framing)
+    text_tokens: np.ndarray            # (Lt,) token ids — raw BPE (turbo) or
+                                       # SOT/EOT-framed (CFG family)
     cond: "object"                     # T3CondHost
     sampler: Optional[SamplerParams] = None
     request_id: int = 0
+    seed: Optional[int] = None         # per-request RNG seed (reproducible rows)
 
 
 @dataclasses.dataclass
@@ -42,16 +44,39 @@ class TTSResult:
 
 
 class BatchDecoder:
-    """Groups requests and runs the batched T3 decode."""
+    """Groups requests and runs the batched T3 decode.
+
+    `cfg=True` serves the 520M CFG family (ChatterboxTTS / Multilingual):
+    the decode runs 2B physical rows (cond+uncond, ref: t3.py:338-386) with
+    the rep→temp→min_p→top_p chain. Per-request SamplerParams are honored
+    row-by-row; per-request seeds make a row's output independent of its
+    batchmates."""
 
     def __init__(self, t3_params, hp: T3Config, max_batch: int = 8,
-                 max_new_tokens: int = 1000, top_k: int = 1000, seed: int = 0):
+                 max_new_tokens: int = 1000, top_k: int = 1000, seed: int = 0,
+                 cfg: bool = False):
         self.t3_params = t3_params
         self.hp = hp
         self.max_batch = max_batch
         self.max_new_tokens = max_new_tokens
         self.top_k = top_k
+        self.cfg = cfg
         self._key = jax.random.key(seed)
+
+    def _stack_samplers(self, requests: list[TTSRequest]) -> SamplerParams:
+        default = SamplerParams.make(cfg_weight=0.5 if self.cfg else 0.0)
+        rows = [r.sampler if r.sampler is not None else default
+                for r in requests]
+        return SamplerParams(*[
+            jnp.asarray([float(getattr(r, f)) for r in rows], jnp.float32)
+            for f in SamplerParams._fields])
+
+    def _row_keys(self, requests: list[TTSRequest]):
+        self._key, k = jax.random.split(self._key)
+        base = jax.random.split(k, len(requests))
+        return jnp.stack([
+            jax.random.key(r.seed) if r.seed is not None else base[i]
+            for i, r in enumerate(requests)])
 
     def decode_batch(self, requests: list[TTSRequest]) -> list[TTSResult]:
         B = len(requests)
@@ -73,17 +98,21 @@ class BatchDecoder:
                 np.stack([[[r.cond.emotion_adv]] for r in requests]))
                 if self.hp.emotion_adv else None),
         )
-        sp = requests[0].sampler or SamplerParams.make(cfg_weight=0.0)
-        self._key, k = jax.random.split(self._key)
+        sp = self._stack_samplers(requests)
+        keys = self._row_keys(requests)
         res = t3_generate_batched(
             self.t3_params, self.hp, cond, jnp.asarray(text),
-            jnp.asarray(lens, jnp.int32), sp, k,
-            max_new_tokens=self.max_new_tokens, top_k=self.top_k)
+            jnp.asarray(lens, jnp.int32), sp, keys,
+            max_new_tokens=self.max_new_tokens, top_k=self.top_k,
+            cfg_mode=self.cfg)
         tokens = np.asarray(res.tokens)
         counts = np.asarray(res.n_tokens)
         out = []
         for i, r in enumerate(requests):
             t = tokens[i, : counts[i]]
+            if self.cfg:   # CFG family slices between SOS/EOS (ref: tts.py:260)
+                from ..api.pipelines import drop_invalid_tokens_sliced
+                t = drop_invalid_tokens_sliced(t)
             t = t[t < SPEECH_VOCAB_SIZE]
             out.append(TTSResult(request_id=r.request_id, speech_tokens=t))
         return out

@@ -79,12 +79,14 @@ class TestDataParallelServing:
                                         (B, 1)), mesh)
             text = shard_batch(jnp.pad(text, ((0, 0), (0, 10))), mesh)
             lens = shard_batch(jnp.full((B,), 6, jnp.int32), mesh)
+            keys = jax.random.split(jax.random.key(1), B)
+            keys = shard_batch(keys.at[3].set(keys[0]), mesh)
             res = t3_generate_batched(
                 params_r, hp, cond, text, lens,
-                SamplerParams.make(cfg_weight=0.0), jax.random.key(1),
+                SamplerParams.make(cfg_weight=0.0), keys,
                 max_new_tokens=6, top_k=40, ignore_eos=True)
             toks = np.asarray(res.tokens)
             assert toks.shape == (8, 6)
             assert (toks < hp.speech_tokens_dict_size).all()
-            # rows with identical input + shared RNG produce identical output
+            # rows with identical input + identical per-row key → identical output
             np.testing.assert_array_equal(toks[0], toks[3])

@@ -95,6 +95,9 @@ class TestCfgPipeline:
         out = m.generate("Test.", audio_prompt_path=str(wav_path),
                          max_new_tokens=6)
         assert out.ndim == 2 and np.isfinite(out).all()
+        # cfg_weight=0 takes the batch-1 decode path (ref: tts.py:237-238)
+        out0 = m.generate("Test.", cfg_weight=0.0, max_new_tokens=6)
+        assert out0.ndim == 2 and np.isfinite(out0).all()
 
 
 class TestVCPipeline:

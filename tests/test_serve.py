@@ -21,20 +21,33 @@ def setup():
     return hp, params
 
 
+@pytest.fixture(scope="module")
+def setup_cfg():
+    hp = T3Config.tiny_test("llama")
+    params = t3m.t3_init(jax.random.key(3), hp)
+    return hp, params
+
+
 def _cond(hp, B):
     return t3m.T3CondArrays(
         speaker_emb=jax.random.normal(jax.random.key(1), (B, 256)),
         cond_prompt_speech_tokens=jnp.zeros((B, hp.speech_cond_prompt_len), jnp.int32),
-        emotion_adv=None,
+        emotion_adv=(0.5 * jnp.ones((B, 1, 1)) if hp.emotion_adv else None),
+    )
+
+
+def _cond_row(hp, i):
+    """Row i of _cond(hp, B) as a standalone batch-1 conditioning."""
+    c = _cond(hp, 4)
+    return t3m.T3CondArrays(
+        speaker_emb=c.speaker_emb[i : i + 1],
+        cond_prompt_speech_tokens=c.cond_prompt_speech_tokens[i : i + 1],
+        emotion_adv=(None if c.emotion_adv is None else c.emotion_adv[i : i + 1]),
     )
 
 
 class TestBatchedDecode:
-    def test_batched_matches_single(self, setup):
-        """A batch of identical requests must produce the same tokens as the
-        single-request engine given the same RNG path is deterministic per
-        row... (rows share one key stream, so instead check per-row validity
-        and EOS bookkeeping)."""
+    def test_batched_shapes_and_bookkeeping(self, setup):
         hp, params = setup
         B = 3
         text = jnp.tile(jnp.arange(1, 9, dtype=jnp.int32)[None], (B, 1))
@@ -42,7 +55,8 @@ class TestBatchedDecode:
         lens = jnp.array([8, 5, 8], jnp.int32)
         sp = SamplerParams.make(cfg_weight=0.0, top_p=0.9)
         res = t3_generate_batched(params, hp, _cond(hp, B), text, lens, sp,
-                                  jax.random.key(2), max_new_tokens=10, top_k=40)
+                                  jax.random.split(jax.random.key(2), B),
+                                  max_new_tokens=10, top_k=40)
         toks = np.asarray(res.tokens)
         ns = np.asarray(res.n_tokens)
         assert toks.shape == (B, 10)
@@ -53,18 +67,85 @@ class TestBatchedDecode:
         """Changing one row's text must not change another row's output."""
         hp, params = setup
         sp = SamplerParams.make(cfg_weight=0.0, top_p=0.9)
+        keys = jax.random.split(jax.random.key(5), 2)
         base = np.zeros((2, 16), np.int32)
         base[0, :6] = np.arange(1, 7)
         base[1, :6] = np.arange(7, 13)
         r1 = t3_generate_batched(params, hp, _cond(hp, 2), jnp.asarray(base),
-                                 jnp.asarray([6, 6]), sp, jax.random.key(5),
+                                 jnp.asarray([6, 6]), sp, keys,
                                  max_new_tokens=8, top_k=40)
         mod = base.copy()
         mod[1, :6] = np.arange(20, 26)
         r2 = t3_generate_batched(params, hp, _cond(hp, 2), jnp.asarray(mod),
-                                 jnp.asarray([6, 6]), sp, jax.random.key(5),
+                                 jnp.asarray([6, 6]), sp, keys,
                                  max_new_tokens=8, top_k=40)
         np.testing.assert_array_equal(np.asarray(r1.tokens)[0], np.asarray(r2.tokens)[0])
+
+    def test_per_row_samplers(self, setup):
+        """Heterogeneous SamplerParams: a near-greedy row must pick the argmax
+        while a hot row with the same key/text is free to differ."""
+        hp, params = setup
+        B = 2
+        text = jnp.tile(jnp.arange(1, 7, dtype=jnp.int32)[None], (B, 1))
+        text = jnp.pad(text, ((0, 0), (0, 10)))
+        lens = jnp.full((B,), 6, jnp.int32)
+        k = jax.random.key(7)
+        keys = jnp.stack([k, k])
+        sp = SamplerParams(
+            temperature=jnp.asarray([1e-4, 5.0], jnp.float32),
+            top_p=jnp.asarray([1.0, 1.0], jnp.float32),
+            min_p=jnp.asarray([0.0, 0.0], jnp.float32),
+            repetition_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
+            cfg_weight=jnp.asarray([0.0, 0.0], jnp.float32),
+        )
+        res = t3_generate_batched(params, hp, _cond(hp, B), text, lens, sp, keys,
+                                  max_new_tokens=8, top_k=0, ignore_eos=True)
+        # near-greedy row must equal an explicit greedy re-run
+        sp_g = SamplerParams(
+            temperature=jnp.asarray([1e-4, 1e-4], jnp.float32),
+            top_p=jnp.asarray([1.0, 1.0], jnp.float32),
+            min_p=jnp.asarray([0.0, 0.0], jnp.float32),
+            repetition_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
+            cfg_weight=jnp.asarray([0.0, 0.0], jnp.float32),
+        )
+        res_g = t3_generate_batched(params, hp, _cond(hp, B), text, lens, sp_g,
+                                    keys, max_new_tokens=8, top_k=0,
+                                    ignore_eos=True)
+        np.testing.assert_array_equal(np.asarray(res.tokens)[0],
+                                      np.asarray(res_g.tokens)[0])
+
+    def test_cfg_batched_matches_isolated(self, setup_cfg):
+        """4 heterogeneous CFG requests decoded together must match each one
+        decoded alone (same per-row keys + per-row samplers)."""
+        hp, params = setup_cfg
+        B = 4
+        rng = np.random.default_rng(0)
+        text = np.zeros((B, 16), np.int32)
+        lens = np.array([6, 9, 4, 12], np.int32)
+        for i in range(B):
+            text[i, : lens[i]] = rng.integers(1, hp.text_tokens_dict_size, lens[i])
+        sp = SamplerParams(
+            temperature=jnp.asarray([0.6, 0.8, 1.0, 1.2], jnp.float32),
+            top_p=jnp.asarray([0.9, 1.0, 0.95, 0.8], jnp.float32),
+            min_p=jnp.asarray([0.05, 0.0, 0.1, 0.05], jnp.float32),
+            repetition_penalty=jnp.asarray([1.2, 1.0, 1.5, 1.2], jnp.float32),
+            cfg_weight=jnp.asarray([0.5, 0.3, 0.7, 0.0], jnp.float32),
+        )
+        keys = jax.random.split(jax.random.key(11), B)
+        res = t3_generate_batched(params, hp, _cond(hp, B), jnp.asarray(text),
+                                  jnp.asarray(lens), sp, keys,
+                                  max_new_tokens=8, cfg_mode=True)
+        for i in range(B):
+            sp_i = SamplerParams(*[jnp.asarray([v[i]]) for v in sp])
+            r = t3_generate_batched(params, hp, _cond_row(hp, i),
+                                    jnp.asarray(text[i : i + 1]),
+                                    jnp.asarray(lens[i : i + 1]), sp_i,
+                                    keys[i : i + 1],
+                                    max_new_tokens=8, cfg_mode=True)
+            np.testing.assert_array_equal(np.asarray(res.tokens)[i],
+                                          np.asarray(r.tokens)[0],
+                                          err_msg=f"row {i}")
+            assert int(res.n_tokens[i]) == int(r.n_tokens[0])
 
 
 class TestServingLoop:

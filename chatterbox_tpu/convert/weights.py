@@ -146,6 +146,19 @@ def convert_voice_encoder(sd) -> dict:
 # T3 (ref: t3.py:49-86 + modules)
 # ---------------------------------------------------------------------------
 
+def convert_perceiver(sd, pv: str) -> dict:
+    """Perceiver resampler (ref: models/t3/modules/perceiver.py:173-213):
+    learned 32-query bank + one shared AttentionBlock2."""
+    return {
+        "query": _get(sd, f"{pv}.pre_attention_query"),
+        "norm": ln(sd, f"{pv}.attn.norm"),
+        "to_q": lin(sd, f"{pv}.attn.to_q"),
+        "to_k": lin(sd, f"{pv}.attn.to_k"),
+        "to_v": lin(sd, f"{pv}.attn.to_v"),
+        "proj_out": lin(sd, f"{pv}.attn.proj_out"),
+    }
+
+
 def convert_t3(sd, hp) -> dict:
     cfg = hp.backbone
     layers = []
@@ -189,15 +202,7 @@ def convert_t3(sd, hp) -> dict:
     if hp.emotion_adv:
         params["cond_enc"]["emotion_adv_fc"] = lin(sd, "cond_enc.emotion_adv_fc")
     if hp.use_perceiver_resampler:
-        pv = "cond_enc.perceiver"
-        params["cond_enc"]["perceiver"] = {
-            "query": _get(sd, f"{pv}.pre_attention_query"),
-            "norm": ln(sd, f"{pv}.attn.norm"),
-            "to_q": lin(sd, f"{pv}.attn.to_q"),
-            "to_k": lin(sd, f"{pv}.attn.to_k"),
-            "to_v": lin(sd, f"{pv}.attn.to_v"),
-            "proj_out": lin(sd, f"{pv}.attn.proj_out"),
-        }
+        params["cond_enc"]["perceiver"] = convert_perceiver(sd, "cond_enc.perceiver")
     if hp.input_pos_emb == "learned":
         params["text_pos_emb"] = emb(sd, "text_pos_emb.emb")
         params["speech_pos_emb"] = emb(sd, "speech_pos_emb.emb")
@@ -397,13 +402,31 @@ def convert_campplus(sd, p="speaker_encoder") -> dict:
 
 
 # ---------------------------------------------------------------------------
-# S3 tokenizer (pip s3tokenizer S3TokenizerV2 internals; best-effort naming —
-# see models/s3tok/model.py docstring)
+# S3 tokenizer (pip s3tokenizer S3TokenizerV2 internals — whisper-style
+# encoder + FSQ; key names per the public xingchensong/S3Tokenizer package.
+# Weights ship inside s3gen.safetensors under `tokenizer.*`
+# (ref: s3gen.py:55,239). A missing key is a HARD error: a silently
+# random-init tokenizer produces garbage tokens with an otherwise-converted
+# S3Gen, which is far worse than failing loudly.)
 # ---------------------------------------------------------------------------
 
-def convert_s3tokenizer(sd, p="tokenizer") -> Optional[dict]:
+class S3TokenizerConversionError(RuntimeError):
+    pass
+
+
+def _lin_any(sd, prefixes, bias=True):
+    """Linear whose checkpoint name has known spelling variants."""
+    for q in prefixes:
+        if f"{q}.weight" in sd:
+            return lin(sd, q, bias=bias and f"{q}.bias" in sd)
+    raise KeyError(f"none of {prefixes} present")
+
+
+def convert_s3tokenizer(sd, p="tokenizer") -> dict:
     try:
         n_layers = _count(sd, lambda i: f"{p}.encoder.blocks.{i}.")
+        if n_layers == 0:
+            raise KeyError(f"no '{p}.encoder.blocks.*' keys found")
         blocks = []
         for i in range(n_layers):
             b = f"{p}.encoder.blocks.{i}"
@@ -417,17 +440,26 @@ def convert_s3tokenizer(sd, p="tokenizer") -> Optional[dict]:
                 "fc1": lin(sd, f"{b}.mlp.0"),
                 "fc2": lin(sd, f"{b}.mlp.2"),
             })
-        return {
+        out = {
             "conv1": conv1d(sd, f"{p}.encoder.conv1"),
             "conv2": conv1d(sd, f"{p}.encoder.conv2"),
             "blocks": blocks,
             "ln_post": ln(sd, f"{p}.encoder.ln_post"),
-            "fsq_proj": lin(sd, f"{p}.quantizer._codebook.project_down"),
+            "fsq_proj": _lin_any(sd, (
+                f"{p}.quantizer._codebook.project_down",
+                f"{p}.quantizer.codebook.project_down",
+                f"{p}.quantizer.project_down",
+            )),
         }
     except KeyError as e:
-        logger.warning(f"S3 tokenizer weights not converted ({e}); "
-                       "keeping random init for this component")
-        return None
+        known = sorted(k for k in sd if k.startswith(f"{p}."))[:20]
+        raise S3TokenizerConversionError(
+            f"S3 tokenizer weight conversion failed on key {e}. The checkpoint "
+            f"has {len([k for k in sd if k.startswith(p + '.')])} '{p}.*' "
+            f"tensors; first keys: {known}. Refusing to fall back to random "
+            f"init (it would produce noise audio). If this is a new checkpoint "
+            f"layout, extend convert_s3tokenizer's name map.") from e
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -457,9 +489,7 @@ def convert_s3gen(sd, meanflow: bool = False):
     import jax
     params = s3gen_init(jax.random.key(0), meanflow=meanflow)
     params = jax.tree.map(np.asarray, params)
-    tok = convert_s3tokenizer(sd)
-    if tok is not None:
-        params["tokenizer"] = tok
+    params["tokenizer"] = convert_s3tokenizer(sd)
     params["speaker_encoder"] = convert_campplus(sd)
     params["flow"] = convert_flow(sd)
     params["mel2wav"] = convert_hift(sd)

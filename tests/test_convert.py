@@ -172,6 +172,59 @@ class TestT3Convert:
         np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
 
 
+class TestPerceiverConvert:
+    def test_perceiver_parity_real_dims(self):
+        """Golden parity at the real 520M dims (1024-d, 4 heads, 32 queries)
+        — the reference module is real-size-only
+        (ref: models/t3/modules/perceiver.py:173-213)."""
+        pmod = load_ref_module("chatterbox.models.t3.modules.perceiver")
+        torch.manual_seed(11)
+        ref = pmod.Perceiver().eval()                    # defaults: 1024/4/32
+        sd = {f"cond_enc.perceiver.{k}": v.detach().numpy()
+              for k, v in ref.state_dict().items()}
+        params = W.convert_perceiver(sd, "cond_enc.perceiver")
+
+        from chatterbox_tpu.models.t3.model import perceiver_apply
+        h = torch.randn(2, 150, 1024)
+        with torch.no_grad():
+            ref_out = ref(h).numpy()
+        ours = perceiver_apply(jax.tree.map(jnp.asarray, params),
+                               jnp.asarray(h.numpy()))
+        np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-3)
+
+    def test_cond_enc_with_perceiver_real_dims(self):
+        """Full reference T3CondEnc (520M config, use_perceiver_resampler=True,
+        ref: cond_enc.py:41-97) vs our converted cond-enc assembly: speaker
+        projection ⊕ perceiver(prompt embeds) ⊕ emotion token."""
+        cond_mod = load_ref_module("chatterbox.models.t3.modules.cond_enc")
+        tcfg_mod = load_ref_module("chatterbox.models.t3.modules.t3_config")
+        torch.manual_seed(13)
+        enc = cond_mod.T3CondEnc(tcfg_mod.T3Config()).eval()   # 1024-d real dims
+        sd = {f"cond_enc.{k}": v.detach().numpy()
+              for k, v in enc.state_dict().items()}
+
+        spk = torch.randn(2, 256)
+        prompt_emb = torch.randn(2, 150, 1024)
+        emo = 0.4 * torch.ones(2, 1, 1)
+        t3cond = cond_mod.T3Cond(speaker_emb=spk,
+                                 cond_prompt_speech_tokens=torch.zeros(2, 150).long(),
+                                 cond_prompt_speech_emb=prompt_emb,
+                                 emotion_adv=emo)
+        with torch.no_grad():
+            ref = enc(t3cond).numpy()
+
+        from chatterbox_tpu.nn import core as nn_core
+        from chatterbox_tpu.models.t3.model import perceiver_apply
+        spkr_p = W.lin(sd, "cond_enc.spkr_enc")
+        emo_p = W.lin(sd, "cond_enc.emotion_adv_fc")
+        perc_p = jax.tree.map(jnp.asarray, W.convert_perceiver(sd, "cond_enc.perceiver"))
+        spkr = nn_core.linear(spkr_p, jnp.asarray(spk.numpy()))[:, None]
+        pe = perceiver_apply(perc_p, jnp.asarray(prompt_emb.numpy()))
+        emo_tok = nn_core.linear(emo_p, jnp.asarray(emo.numpy()).reshape(-1, 1, 1))
+        ours = jnp.concatenate([spkr, pe, emo_tok], axis=1)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-3)
+
+
 class TestVEConvert:
     def test_lstm_shapes(self):
         torch.manual_seed(7)

@@ -77,6 +77,7 @@ def flow_inference(params: dict, *,
                    n_timesteps: int = 10,
                    meanflow: bool = False,
                    noise: Optional[jnp.ndarray] = None,
+                   noise_aligned: bool = False,
                    finalize: bool = True,
                    dims: FlowDims = FlowDims()) -> jnp.ndarray:
     """Returns mels (B, 2*T_tok, 80); the valid generated region is
@@ -116,9 +117,15 @@ def flow_inference(params: dict, *,
         pf = pf[:, :T_mel]
     conds = jnp.where(mel_positions[..., None] < prompt_mel_len[:, None, None], pf, 0.0)
 
+    # noise placement: `noise_aligned` means the caller pre-aligned the noise
+    # to the packed [prompt|gen] mel buffer (streaming uses one fixed
+    # per-utterance buffer so every feed re-denoises the same realization);
+    # otherwise meanflow noise covers only the generated region and is
+    # shifted after the prompt (ref: s3gen.py:313-316, flow_matching.py:218-220).
     mels = cfm_inference(params["decoder"], mu, mask_mel, spks, conds, key,
                          n_timesteps=n_timesteps, meanflow=meanflow,
                          noise=noise,
-                         prompt_len=prompt_mel_len if noise is not None else None,
+                         prompt_len=(None if noise is None or noise_aligned
+                                     else prompt_mel_len),
                          n_heads=dims.unet_heads)
     return mels

@@ -107,14 +107,23 @@ def hift_init(key, base_channels: int = BASE_CHANNELS) -> dict:
     return p
 
 
-def hift_source(params: dict, key, f0: jnp.ndarray) -> jnp.ndarray:
-    """f0 (B, T_mel) -> source signal s (B, T_mel*480, 1)."""
+def hift_source(params: dict, key, f0: jnp.ndarray,
+                phase_carry: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """f0 (B, T_mel) -> source signal s (B, T_mel*480, 1).
+
+    phase_carry (B, NB_HARMONICS+1): accumulated Σ f/sr over all samples
+    BEFORE this window — lets a streaming caller continue the harmonic phase
+    across windows instead of restarting the cumsum (the continuity the
+    reference's dormant `cache_source` hook provides — ref: hifigan.py:471-473)."""
     k_phase, k_noise = jax.random.split(key)
     f0_up = jnp.repeat(f0, TOTAL_UPSAMPLE, axis=1)                   # (B, T*480)
     B, T = f0_up.shape
     harmonics = jnp.arange(1, NB_HARMONICS + 2, dtype=jnp.float32)
     f_mat = f0_up[..., None] * harmonics / SAMPLE_RATE
-    theta = 2.0 * jnp.pi * (jnp.cumsum(f_mat, axis=1) % 1.0)
+    cum = jnp.cumsum(f_mat, axis=1)
+    if phase_carry is not None:
+        cum = cum + phase_carry[:, None, :]
+    theta = 2.0 * jnp.pi * (cum % 1.0)
     phase = jax.random.uniform(k_phase, (B, 1, NB_HARMONICS + 1),
                                minval=-jnp.pi, maxval=jnp.pi)
     phase = phase.at[:, :, 0].set(0.0)
@@ -174,14 +183,26 @@ def hift_decode(params: dict, mel: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
 
 
 def hift_inference(params: dict, key, mel: jnp.ndarray,
-                   cache_source: Optional[jnp.ndarray] = None):
-    """mel (B, T, 80) -> (wav (B, T*480), source (B, T*480, 1))
+                   cache_source: Optional[jnp.ndarray] = None,
+                   cache_len: Optional[jnp.ndarray] = None,
+                   phase_carry: Optional[jnp.ndarray] = None):
+    """mel (B, T, 80) -> (wav (B, T*480), source (B, T*480, 1), f0 (B, T))
     (ref: hifigan.py:462-474). cache_source, if given, replaces the source
-    prefix for glitch-free streaming joins."""
+    prefix for glitch-free streaming joins (ref: hifigan.py:471-473):
+      * cache_len=None: host path — cache_source is the exact-length prefix,
+        concatenated with the fresh suffix;
+      * cache_len given: jit path — cache_source is a full-length buffer and
+        the first cache_len samples are taken from it (masked overwrite, so
+        the program shape is independent of the cache length)."""
     f0 = f0_predictor_apply(params["f0_predictor"], mel)             # (B, T)
-    s = hift_source(params, key, f0)
-    if cache_source is not None and cache_source.shape[1] > 0:
-        n = cache_source.shape[1]
-        s = jnp.concatenate([cache_source, s[:, n:]], axis=1)
+    s = hift_source(params, key, f0, phase_carry=phase_carry)
+    if cache_source is not None:
+        if cache_len is None:
+            if cache_source.shape[1] > 0:
+                n = cache_source.shape[1]
+                s = jnp.concatenate([cache_source, s[:, n:]], axis=1)
+        else:
+            idx = jnp.arange(s.shape[1])[None, :, None]
+            s = jnp.where(idx < jnp.reshape(cache_len, (-1, 1, 1)), cache_source, s)
     wav = hift_decode(params, mel, s)
-    return wav, s
+    return wav, s, f0

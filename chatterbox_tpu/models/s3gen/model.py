@@ -85,18 +85,28 @@ class S3GenEngine:
         self.dims = dims
         self.n_timesteps = n_timesteps or (2 if meanflow else 10)
 
-        @functools.partial(jax.jit, static_argnames=("n_timesteps",))
+        @functools.partial(jax.jit,
+                           static_argnames=("n_timesteps", "noise_aligned"))
         def _flow(params, token, token_len, prompt_len, prompt_feat, embedding,
-                  key, noise, n_timesteps):
+                  key, noise, n_timesteps, noise_aligned=False):
             return flow_inference(
                 params["flow"], token=token, token_len=token_len,
                 prompt_len=prompt_len, prompt_feat=prompt_feat,
                 embedding=embedding, key=key, n_timesteps=n_timesteps,
-                meanflow=meanflow, noise=noise, dims=dims)
+                meanflow=meanflow, noise=noise, noise_aligned=noise_aligned,
+                dims=dims)
 
         @jax.jit
         def _hift(params, mel, key):
-            return hift_inference(params["mel2wav"], key, mel)
+            wav, s, _ = hift_inference(params["mel2wav"], key, mel)
+            return wav, s
+
+        @jax.jit
+        def _hift_stream(params, mel, key, cache_source, cache_len, phase_carry):
+            return hift_inference(params["mel2wav"], key, mel,
+                                  cache_source=cache_source,
+                                  cache_len=cache_len,
+                                  phase_carry=phase_carry)
 
         @functools.partial(jax.jit, static_argnames=("max_len",))
         def _tokenize(params, wav, wav_len, max_len):
@@ -113,6 +123,7 @@ class S3GenEngine:
 
         self._flow = _flow
         self._hift = _hift
+        self._hift_stream = _hift_stream
         self._tokenize = _tokenize
         self._xvector = _xvector
         self._mel24 = _mel24
@@ -161,8 +172,14 @@ class S3GenEngine:
     # tokens → mel (ref: s3gen.py:300-321 / flow.py:131-198)
     # ------------------------------------------------------------------
     def flow_to_mel(self, speech_tokens: np.ndarray, ref: RefDict, key,
-                    n_timesteps: Optional[int] = None) -> tuple[np.ndarray, int]:
-        """Returns (gen mels (1, T_mel_bucket, 80), gen_mel_len)."""
+                    n_timesteps: Optional[int] = None,
+                    noise: Optional[np.ndarray] = None) -> tuple[np.ndarray, int]:
+        """Returns (gen mels (1, T_mel_bucket, 80), gen_mel_len).
+
+        noise: optional caller-supplied CFM noise aligned to the packed
+        [prompt|gen] mel buffer (must cover bucket*2 frames). Streaming feeds
+        slice one fixed per-utterance buffer so the already-emitted region is
+        re-denoised from the SAME realization every feed."""
         speech_tokens = np.asarray(speech_tokens).reshape(1, -1)
         P = int(ref.prompt_token_len[0])
         G = speech_tokens.shape[1]
@@ -173,15 +190,20 @@ class S3GenEngine:
         token[0, P:total] = speech_tokens[0]
 
         key, k_noise = jax.random.split(key)
-        noise = None
-        if self.meanflow:
+        noise_aligned = noise is not None
+        if noise_aligned:
+            noise = jnp.asarray(noise[:, : bucket * TOKEN_MEL_RATIO])
+            assert noise.shape[1] == bucket * TOKEN_MEL_RATIO, \
+                "aligned noise buffer too short for this token bucket"
+        elif self.meanflow:
             # meanflow pre-draws the generated-region noise (ref: s3gen.py:313-316)
             noise = jax.random.normal(k_noise, (1, bucket * TOKEN_MEL_RATIO, 80))
 
         mels = self._flow(self.params, jnp.asarray(token), jnp.asarray([total]),
                           jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
                           jnp.asarray(ref.embedding), key, noise,
-                          n_timesteps=n_timesteps or self.n_timesteps)
+                          n_timesteps=n_timesteps or self.n_timesteps,
+                          noise_aligned=noise_aligned)
         # slice off the prompt region (ref: flow.py:196-197), host-side
         mels = np.asarray(mels)
         gen_mel_len = G * TOKEN_MEL_RATIO
@@ -199,6 +221,38 @@ class S3GenEngine:
         mel[:, :T] = gen_mels
         wav, _ = self._hift(self.params, jnp.asarray(mel), key)
         return np.array(wav)[:, : T * TOTAL_UPSAMPLE]
+
+    def mel_to_wav_stream(self, gen_mels: np.ndarray, key,
+                          cache_source: Optional[np.ndarray] = None,
+                          cache_len: int = 0,
+                          phase_carry: Optional[np.ndarray] = None,
+                          mel_bucket: Optional[int] = None):
+        """Streaming vocoder step (ref dormant hook: hifigan.py:462-474).
+
+        cache_source: source buffer from the previous feed — its first
+        cache_len samples replace the fresh draw (glitch-free joins).
+        phase_carry: (1, 9) accumulated Σf/sr before this window (windowed
+        O(chunk) mode). Returns (wav (1, T*480), source (1, bucket*480, 1),
+        f0 (1, T))."""
+        gen_mels = np.asarray(gen_mels)
+        T = gen_mels.shape[1]
+        bucket = mel_bucket or _bucket(T, GEN_MEL_BUCKETS)
+        mel = np.full((1, bucket, 80), MEL_FLOOR, np.float32)
+        mel[:, :T] = gen_mels
+        n_samp = bucket * TOTAL_UPSAMPLE
+        cache_buf = np.zeros((1, n_samp, 1), np.float32)
+        if cache_source is not None:
+            n = min(cache_source.shape[1], n_samp, cache_len)
+            cache_buf[:, :n] = np.asarray(cache_source)[:, :n]
+            cache_len = n
+        if phase_carry is None:
+            phase_carry = np.zeros((1, 9), np.float32)
+        wav, s, f0 = self._hift_stream(
+            self.params, jnp.asarray(mel), key, jnp.asarray(cache_buf),
+            jnp.asarray(cache_len, jnp.int32),
+            jnp.asarray(phase_carry, jnp.float32))
+        return (np.array(wav)[:, : T * TOTAL_UPSAMPLE], np.asarray(s),
+                np.asarray(f0)[:, :T])
 
     # ------------------------------------------------------------------
     # full inference (ref: s3gen.py:329-362)

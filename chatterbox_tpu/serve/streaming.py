@@ -43,42 +43,131 @@ def chunk_text(text: str, max_chars: int = 300) -> list[str]:
 
 
 class StreamingVocoder:
-    """Streams S3Gen over token chunks with source-cache continuity.
+    """Streams S3Gen over token chunks with real cross-chunk continuity.
 
-    Each call synthesizes the accumulated-token window, reuses the cached
-    HiFT source for the already-emitted region, and emits only the new
-    samples — the reference's intended (but dormant) chunk-join scheme.
+    Continuity machinery (the reference's dormant hooks, now actually wired):
+      * one FIXED per-utterance CFM noise buffer, aligned to the packed
+        [prompt|gen] mel layout — every feed re-denoises the already-emitted
+        region from the same realization (vs. the reference's per-call draw,
+        ref: s3gen.py:313-316);
+      * HiFT source cache — the source prefix from previous feeds replaces
+        the fresh draw so harmonic phase/noise of emitted audio never changes
+        (ref: hifigan.py:471-473);
+      * `finalize` lookahead trim — non-final feeds drop the last
+        PRE_LOOKAHEAD_LEN tokens' frames (ref: flow.py:170-171, s3gen.py:200).
+
+    Two modes:
+      * exact (window_tokens=None): each feed re-runs the flow over the full
+        accumulated window. Best quality; O(total) flow per feed — right for
+        sentence-scale streaming (TTFA path).
+      * windowed (window_tokens=W): each feed encodes only [prompt | last ≤W
+        tokens] and vocodes only [ctx_mel tail | new frames], with the
+        harmonic phase carried across windows — O(chunk) per feed, for
+        unbounded long-form narration.
     """
 
+    MAX_MEL_FRAMES = 8192    # fixed-noise buffer cap (≈164 s of audio)
+
     def __init__(self, engine: S3GenEngine, ref: RefDict, key,
-                 lookahead_tokens: int = PRE_LOOKAHEAD_LEN):
+                 lookahead_tokens: int = PRE_LOOKAHEAD_LEN,
+                 window_tokens: Optional[int] = None,
+                 ctx_mel: int = 16):
         self.engine = engine
         self.ref = ref
-        self.key = key
         self.lookahead = lookahead_tokens
+        self.window = window_tokens
+        self.ctx_mel = ctx_mel
+        k_flow, k_noise, k_hift = jax.random.split(key, 3)
+        self._k_flow = k_flow          # fixed: CFM solve is deterministic given z
+        self._k_hift = k_hift          # fixed: source phases/noise per utterance
+        self._noise = np.asarray(jax.random.normal(
+            k_noise, (1, self.MAX_MEL_FRAMES, 80)), np.float32)
         self._tokens = np.zeros((1, 0), np.int32)
-        self._emitted_samples = 0
-        self._source_cache: Optional[np.ndarray] = None
         self._fade = trim_fade()
+        # exact-mode state
+        self._emitted_samples = 0
+        self._src_cache: Optional[np.ndarray] = None
+        self._src_cache_len = 0
+        # windowed-mode state
+        self._emitted_tokens = 0
+        self._mel_tail = np.zeros((1, 0, 80), np.float32)
+        self._phase_carry = np.zeros((1, 9), np.float64)   # Σ f/sr mod 1, fp64
 
     def feed(self, new_tokens: np.ndarray, final: bool = False) -> np.ndarray:
-        """Feed newly generated speech tokens; returns new audio samples."""
+        """Feed newly generated speech tokens; returns the new audio samples."""
         new_tokens = np.asarray(new_tokens).reshape(1, -1)
         self._tokens = np.concatenate([self._tokens, new_tokens], axis=1)
-        n_tok = self._tokens.shape[1]
-        if not final and n_tok <= self.lookahead:
+        if not final and self._tokens.shape[1] <= self.lookahead:
             return np.zeros((0,), np.float32)
+        if self.window is None:
+            return self._feed_exact(final)
+        return self._feed_windowed(final)
 
-        self.key, k1, k2 = jax.random.split(self.key, 3)
-        gen_mels, gen_len = self.engine.flow_to_mel(self._tokens, self.ref, k1)
+    # ------------------------------------------------------------------
+    def _feed_exact(self, final: bool) -> np.ndarray:
+        gen_mels, gen_len = self.engine.flow_to_mel(
+            self._tokens, self.ref, self._k_flow,
+            noise=self._noise)                       # fixed aligned noise
         if not final:
             # drop unreliable lookahead tail (ref: flow.py:170-171)
             gen_len = gen_len - self.lookahead * TOKEN_MEL_RATIO
             gen_mels = gen_mels[:, :gen_len]
-        wav = self.engine.mel_to_wav(gen_mels, k2)[0]
+        wav, src, _ = self.engine.mel_to_wav_stream(
+            gen_mels, self._k_hift,
+            cache_source=self._src_cache, cache_len=self._src_cache_len)
+        self._src_cache = src
+        self._src_cache_len = gen_len * 480
+        wav = wav[0]
         wav[: len(self._fade)] *= self._fade
         new = wav[self._emitted_samples:]
         self._emitted_samples = len(wav)
+        return new
+
+    # ------------------------------------------------------------------
+    def _feed_windowed(self, final: bool) -> np.ndarray:
+        P = int(self.ref.prompt_token_len[0])
+        n_tok = self._tokens.shape[1]
+        upto = n_tok if final else n_tok - self.lookahead
+        if upto <= self._emitted_tokens:
+            return np.zeros((0,), np.float32)
+
+        t0 = max(0, n_tok - self.window)             # window start (abs tokens)
+        win_tokens = self._tokens[:, t0:]
+        # aligned noise for [prompt | window]: prompt noise + gen noise at the
+        # window's absolute offset, from the one fixed buffer
+        off = 2 * (P + t0)
+        noise = np.concatenate(
+            [self._noise[:, : 2 * P],
+             self._noise[:, off:]], axis=1)
+        gen_mels, _ = self.engine.flow_to_mel(
+            win_tokens, self.ref, self._k_flow, noise=noise)
+        # frames for tokens [emitted, upto) live at window-relative
+        # [emitted - t0, upto - t0) tokens
+        lo = (self._emitted_tokens - t0) * TOKEN_MEL_RATIO
+        hi = (upto - t0) * TOKEN_MEL_RATIO
+        new_mels = gen_mels[:, lo:hi]
+
+        C = self._mel_tail.shape[1]
+        mel_in = np.concatenate([self._mel_tail, new_mels], axis=1)
+        wav, _, f0 = self.engine.mel_to_wav_stream(
+            mel_in, self._k_hift,
+            phase_carry=(self._phase_carry % 1.0).astype(np.float32))
+        new = wav[0, C * 480:]
+        if self._emitted_tokens == 0:
+            new = new.copy()
+            new[: len(self._fade)] *= self._fade
+
+        # advance: carry accumulates Σ f/sr over the samples that scroll out
+        # of the next window's left context
+        keep = min(self.ctx_mel, mel_in.shape[1])
+        scrolled = mel_in.shape[1] - keep            # frames leaving the window
+        if scrolled > 0:
+            harmonics = np.arange(1, 10, dtype=np.float64)
+            f_sum = f0[0, :scrolled].astype(np.float64).sum() * 480
+            self._phase_carry = (self._phase_carry
+                                 + f_sum * harmonics[None] / 24000.0) % 1.0
+        self._mel_tail = mel_in[:, -keep:]
+        self._emitted_tokens = upto
         return new
 
 

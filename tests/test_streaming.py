@@ -65,6 +65,113 @@ class TestChunkedDecode:
         assert total <= 40
 
 
+def _tiny_engine(seed=0, meanflow=True):
+    from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init
+    tok_cfg = S3TokenizerConfig.tiny_test()
+    dims = FlowDims.tiny_test()
+    return S3GenEngine(
+        s3gen_init(jax.random.key(seed), meanflow=meanflow, tok_cfg=tok_cfg,
+                   dims=dims, hift_base=32),
+        meanflow=meanflow, tok_cfg=tok_cfg, dims=dims, n_timesteps=2)
+
+
+class TestStreamingContinuity:
+    def test_vocoder_stream_matches_oneshot(self):
+        """Growing-window vocoding with the source cache + fixed key must
+        reproduce the one-shot decode sample-for-sample (outside the
+        receptive-field lookahead)."""
+        eng = _tiny_engine()
+        rng = np.random.default_rng(1)
+        T = 80
+        mel = rng.standard_normal((1, T, 80)).astype(np.float32) * 0.5
+        key = jax.random.key(7)
+        wav_full = eng.mel_to_wav_stream(mel, key)[0][0]
+
+        LA = 16   # mel-frame lookahead > HiFT receptive field
+        cache, clen, emitted, out = None, 0, 0, []
+        for i, Tc in enumerate((32, 56, 80)):
+            final = Tc == T
+            wav, src, _ = eng.mel_to_wav_stream(mel[:, :Tc], key,
+                                                cache_source=cache,
+                                                cache_len=clen)
+            upto = (Tc if final else Tc - LA) * 480
+            out.append(wav[0, emitted:upto])
+            emitted = upto
+            cache, clen = src, Tc * 480
+        stream = np.concatenate(out)
+        assert len(stream) == len(wav_full)
+        np.testing.assert_allclose(stream, wav_full, atol=1e-4)
+
+    def test_phase_carry_window_exact(self, monkeypatch):
+        """Windowed source generation with the phase carry must equal the
+        full-sequence source exactly (noise disabled: deterministic sine)."""
+        from chatterbox_tpu.models.s3gen import hift as H
+        monkeypatch.setattr(H, "NOISE_STD", 0.0)
+        params = H.hift_init(jax.random.key(3), base_channels=32)
+        key = jax.random.key(9)
+        f0 = jnp.full((1, 12), 220.0)                     # voiced everywhere
+        s_full = np.asarray(H.hift_source(params, key, f0))
+
+        t0 = 6
+        harmonics = np.arange(1, 10, dtype=np.float64)
+        f_sum = float(np.asarray(f0)[0, :t0].sum()) * 480
+        carry = (f_sum * harmonics[None] / 24000.0) % 1.0
+        s_win = np.asarray(H.hift_source(
+            params, key, f0[:, t0:], jnp.asarray(carry, jnp.float32)))
+        np.testing.assert_allclose(s_win[0], s_full[0, t0 * 480:], atol=2e-4)
+
+    def test_exact_mode_stream(self):
+        """End-to-end StreamingVocoder (exact mode): length bookkeeping,
+        finiteness, and no gross clicks at chunk joins."""
+        from chatterbox_tpu.serve.streaming import StreamingVocoder
+        eng = _tiny_engine(seed=2)
+        rng = np.random.default_rng(3)
+        ref = eng.embed_ref((rng.standard_normal(24000) * 0.1).astype(np.float32),
+                            24000)
+        voc = StreamingVocoder(eng, ref, jax.random.key(11))
+        tokens = rng.integers(0, 6561, 24).astype(np.int32)
+        chunks, joins = [], []
+        pos = 0
+        for i in range(3):
+            final = i == 2
+            c = voc.feed(tokens[i * 8: (i + 1) * 8], final=final)
+            if len(c) and pos > 0:
+                joins.append(pos)
+            pos += len(c)
+            chunks.append(c)
+        stream = np.concatenate(chunks)
+        assert len(stream) == 24 * 2 * 480
+        assert np.isfinite(stream).all()
+        d = np.abs(np.diff(stream))
+        for j in joins:
+            assert abs(stream[j] - stream[j - 1]) <= max(5 * d.max(), 1e-3)
+
+    def test_windowed_mode_bounded_and_streams(self):
+        """Windowed mode: per-feed flow work stays O(window), emitted length
+        is exact, output finite."""
+        from chatterbox_tpu.serve import streaming as SS
+        eng = _tiny_engine(seed=4)
+        rng = np.random.default_rng(5)
+        ref = eng.embed_ref((rng.standard_normal(24000) * 0.1).astype(np.float32),
+                            24000)
+        voc = SS.StreamingVocoder(eng, ref, jax.random.key(13),
+                                  window_tokens=16)
+        seen_widths = []
+        orig = eng.flow_to_mel
+        def spy(tokens, *a, **kw):
+            seen_widths.append(np.asarray(tokens).reshape(1, -1).shape[1])
+            return orig(tokens, *a, **kw)
+        eng.flow_to_mel = spy
+        tokens = rng.integers(0, 6561, 64).astype(np.int32)
+        out = []
+        for i in range(8):
+            out.append(voc.feed(tokens[i * 8: (i + 1) * 8], final=(i == 7)))
+        stream = np.concatenate(out)
+        assert len(stream) == 64 * 2 * 480
+        assert np.isfinite(stream).all()
+        assert max(seen_widths) <= 16          # O(window), not O(total)
+
+
 class TestStreamingPipeline:
     def test_generate_stream_yields_audio(self):
         class FakeTok:

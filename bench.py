@@ -1,24 +1,27 @@
-"""Benchmark: Chatterbox-Turbo realtime factor on one TPU chip.
+"""Benchmark: all BASELINE.md configs on one TPU chip.
 
-Measures the full TTS hot path at real model sizes (random-init weights —
-identical FLOPs/shapes to the published Turbo 350M checkpoint):
-    T3 GPT2-medium decode (prefill 376-token cond + text, then N
-    autoregressive steps in one on-device while_loop)
-  + S3Gen meanflow flow (2-step CFM over the conformer-encoded tokens)
-  + HiFT vocoder (mel → 24 kHz waveform)
+Measures the real-size hot paths on random-init weights (identical
+FLOPs/shapes to the published checkpoints):
 
-Serving configuration: weight-only int8 backbone (utils/quantize.py; <0.5%
-weight rounding error, validated in tests/test_quantize.py) with in-place KV
-cache updates. Set CHATTERBOX_BENCH_BF16=1 for the plain bf16 path.
+  1. turbo_xrt   — Chatterbox-Turbo 350M single-stream (target ≥20×):
+                   GPT2-medium int8 decode + 2-step meanflow S3Gen + HiFT.
+  2. ttfa_ms     — p50 time-to-first-audio on the Turbo streaming path
+                   (prefill + 25-token chunk + short vocode; target <200 ms).
+  3. batch8_xrt  — aggregate ×realtime for 8 concurrent requests (batched
+                   decode + one batched S3Gen call; BASELINE config 5).
+  4. cfg520_xrt  — original Chatterbox 520M CFG pipeline (llama backbone,
+                   batch-2 CFG decode, 10-step CFG CFM; target ≥10×).
 
-xRT = seconds of audio generated per wall-clock second (≥20× is the
-BASELINE.md north-star target for Turbo on v5e).
+Axon quirk: block_until_ready is a no-op over the relay — all timings fetch
+values (np.asarray) to force completion.
 
-Prints ONE JSON line:
-    {"metric": "turbo_xrt", "value": ..., "unit": "x_realtime",
-     "vs_baseline": value / 20.0}
+Prints one JSON line per metric; the LAST line is the primary turbo_xrt
+(the driver parses the final line). Extra metrics are individually guarded:
+a failure or the soft time budget (CHATTERBOX_BENCH_BUDGET_S, default 540 s)
+skips the rest but never loses turbo_xrt.
 """
 import json
+import os
 import sys
 import time
 
@@ -26,45 +29,62 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "540"))
+_T_START = time.perf_counter()
 
-def main():
+
+def _elapsed():
+    return time.perf_counter() - _T_START
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(float(value), 3),
+                      "unit": unit, "vs_baseline": round(float(vs_baseline), 3)}))
+    sys.stdout.flush()
+
+
+def _log(msg):
+    print(f"[{_elapsed():6.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+def _make_ref(rng, P=125):
+    from chatterbox_tpu.models.s3gen.model import RefDict
+    return RefDict(
+        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
+        prompt_token_len=np.asarray([P], np.int32),
+        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
+        embedding=rng.standard_normal((1, 192)).astype(np.float32),
+    )
+
+
+def bench_turbo(results):
     from chatterbox_tpu.models.t3.config import T3Config
     from chatterbox_tpu.models.t3 import model as t3m
-    from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, RefDict
+    from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init
     from chatterbox_tpu.sampling.decode import t3_generate
     from chatterbox_tpu.ops.sampling import SamplerParams
     from chatterbox_tpu.utils.dtypes import cast_params
 
     hp = T3Config.turbo()
-    key = jax.random.key(0)
-    k1, k2 = jax.random.split(key)
-
-    import os
+    k1, k2 = jax.random.split(jax.random.key(0))
     use_int8 = os.environ.get("CHATTERBOX_BENCH_BF16") != "1"
-    print(f"building Turbo T3 (GPT2-medium, int8={use_int8}) ...", file=sys.stderr)
+    _log(f"building Turbo T3 (GPT2-medium, int8={use_int8}) ...")
     t3_params = cast_params(t3m.t3_init(k1, hp), jnp.bfloat16)
     if use_int8:
         from chatterbox_tpu.utils.quantize import quantize_t3_backbone
         t3_params = quantize_t3_backbone(t3_params)
 
-    print("building S3Gen (meanflow) ...", file=sys.stderr)
-    s3_params = s3gen_init(k2, meanflow=True)
-    engine = S3GenEngine(s3_params, meanflow=True)
+    _log("building S3Gen (meanflow) ...")
+    engine = S3GenEngine(s3gen_init(k2, meanflow=True), meanflow=True)
 
-    # conditioning: 375-token speech prompt (Turbo setting) + 5 s ref mels
     cond = t3m.T3CondArrays(
         speaker_emb=jnp.zeros((1, 256)),
         cond_prompt_speech_tokens=jnp.zeros((1, hp.speech_cond_prompt_len), jnp.int32),
         emotion_adv=None,
     )
     rng = np.random.default_rng(0)
-    P = 125  # 5 s voice prompt for the flow
-    ref = RefDict(
-        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
-        prompt_token_len=np.asarray([P], np.int32),
-        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
-        embedding=rng.standard_normal((1, 192)).astype(np.float32),
-    )
+    ref = _make_ref(rng)
 
     N_TOKENS = 250           # 10 s of speech at 25 tok/s
     text = jnp.zeros((1, 32), jnp.int32)
@@ -75,42 +95,193 @@ def main():
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
                           top_k=1000, cfg_mode=False, ignore_eos=True)
-        return jax.block_until_ready(res.tokens)
+        return np.asarray(res.tokens)
 
-    print("compiling T3 decode ...", file=sys.stderr)
-    toks = np.asarray(t3_step(0)) % 6561
-    print("compiling S3Gen ...", file=sys.stderr)
-    wav = engine.inference(toks[None] if toks.ndim == 1 else toks, ref,
-                           jax.random.key(1))
+    _log("compiling Turbo T3 decode ...")
+    toks = t3_step(0) % 6561
+    _log("compiling S3Gen ...")
+    engine.inference(toks[None] if toks.ndim == 1 else toks, ref, jax.random.key(1))
 
-    # ---- timed runs -------------------------------------------------------
-    n_runs = 3
     t3_times, s3_times = [], []
-    for i in range(n_runs):
+    for i in range(3):
         t0 = time.perf_counter()
-        toks = np.asarray(t3_step(i + 1)) % 6561
+        toks = t3_step(i + 1) % 6561
         t1 = time.perf_counter()
         wav = engine.inference(toks[None], ref, jax.random.key(i + 2))
+        assert np.isfinite(wav).all()
         t2 = time.perf_counter()
         t3_times.append(t1 - t0)
         s3_times.append(t2 - t1)
 
-    t3_t = min(t3_times)
-    s3_t = min(s3_times)
+    t3_t, s3_t = min(t3_times), min(s3_times)
     audio_sec = N_TOKENS / 25.0
     xrt = audio_sec / (t3_t + s3_t)
-    tok_per_s = N_TOKENS / t3_t
+    _log(f"Turbo: T3 {t3_t:.3f}s ({N_TOKENS / t3_t:.1f} tok/s), S3Gen {s3_t:.3f}s "
+         f"→ {xrt:.2f}x realtime")
+    results["turbo_xrt"] = xrt
+    return dict(hp=hp, t3_params=t3_params, engine=engine, cond=cond, ref=ref,
+                sp=sp, text=text)
 
-    print(f"T3 decode: {t3_t:.3f}s ({tok_per_s:.1f} tok/s), "
-          f"S3Gen: {s3_t:.3f}s, audio {audio_sec:.1f}s → {xrt:.2f}x realtime",
-          file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "turbo_xrt",
-        "value": round(float(xrt), 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(float(xrt) / 20.0, 3),
-    }))
+def bench_ttfa(results, ctx):
+    """p50 time-to-first-audio: prefill + 25-token chunk decode + short vocode."""
+    from chatterbox_tpu.sampling.chunked import t3_prefill, t3_decode_chunk
+
+    hp, t3_params, engine = ctx["hp"], ctx["t3_params"], ctx["engine"]
+    cond, ref, sp, text = ctx["cond"], ctx["ref"], ctx["sp"], ctx["text"]
+    CHUNK = 25
+
+    def first_audio(seed):
+        t0 = time.perf_counter()
+        state = t3_prefill(t3_params, hp, cond, text, jnp.asarray(30),
+                           jax.random.key(seed), max_new_tokens=250,
+                           cfg_mode=False)
+        state, toks, n = t3_decode_chunk(t3_params, hp, state, sp,
+                                         n_steps=CHUNK, top_k=1000,
+                                         cfg_mode=False, ignore_eos=True)
+        toks = np.asarray(toks)[: int(n)] % 6561
+        mels, gen_len = engine.flow_to_mel(toks[None], ref, jax.random.key(seed + 1))
+        wav = engine.mel_to_wav(mels[:, :gen_len], jax.random.key(seed + 2))
+        assert np.isfinite(wav).all()
+        return (time.perf_counter() - t0) * 1e3
+
+    _log("compiling TTFA path ...")
+    first_audio(0)
+    times = [first_audio(i + 1) for i in range(5)]
+    p50 = float(np.median(times))
+    _log(f"TTFA p50 {p50:.0f} ms (runs: {[round(t) for t in times]})")
+    results["ttfa_ms"] = p50
+
+
+def bench_batch8(results, ctx):
+    """Aggregate xRT for 8 concurrent requests (BASELINE config 5)."""
+    from chatterbox_tpu.sampling.batched import t3_generate_batched
+    from chatterbox_tpu.models.t3 import model as t3m
+
+    hp, t3_params, engine, ref = ctx["hp"], ctx["t3_params"], ctx["engine"], ctx["ref"]
+    B, N_TOKENS = 8, 250
+    cond = t3m.T3CondArrays(
+        speaker_emb=jnp.zeros((B, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((B, hp.speech_cond_prompt_len), jnp.int32),
+        emotion_adv=None,
+    )
+    text = jnp.zeros((B, 32), jnp.int32)
+    lens = jnp.full((B,), 30, jnp.int32)
+
+    def step(seed):
+        res = t3_generate_batched(
+            t3_params, hp, cond, text, lens, ctx["sp"],
+            jax.random.split(jax.random.key(seed), B),
+            max_new_tokens=N_TOKENS, top_k=1000, ignore_eos=True)
+        return np.asarray(res.tokens) % 6561
+
+    _log("compiling batch-8 decode ...")
+    toks = step(0)
+    _log("compiling batched S3Gen ...")
+    engine.inference_batch(list(toks), [ref] * B, jax.random.key(3))
+
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        toks = step(i + 1)
+        wavs = engine.inference_batch(list(toks), [ref] * B, jax.random.key(i + 4))
+        assert all(np.isfinite(w).all() for w in wavs)
+        times.append(time.perf_counter() - t0)
+    agg_audio = B * N_TOKENS / 25.0
+    xrt = agg_audio / min(times)
+    _log(f"batch-8: {min(times):.3f}s for {agg_audio:.0f}s audio → {xrt:.1f}x agg")
+    results["batch8_xrt"] = xrt
+
+
+def bench_cfg520(results):
+    """Original Chatterbox 520M: llama backbone, CFG batch-2, 10-step CFM."""
+    from chatterbox_tpu.models.t3.config import T3Config
+    from chatterbox_tpu.models.t3 import model as t3m
+    from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init
+    from chatterbox_tpu.sampling.decode import t3_generate
+    from chatterbox_tpu.ops.sampling import SamplerParams
+    from chatterbox_tpu.utils.dtypes import cast_params
+
+    hp = T3Config.english_only()
+    k1, k2 = jax.random.split(jax.random.key(10))
+    use_int8 = os.environ.get("CHATTERBOX_BENCH_BF16") != "1"
+    _log(f"building 520M T3 (llama, int8={use_int8}) ...")
+    t3_params = cast_params(t3m.t3_init(k1, hp), jnp.bfloat16)
+    if use_int8:
+        from chatterbox_tpu.utils.quantize import quantize_t3_backbone
+        t3_params = quantize_t3_backbone(t3_params)
+    _log("building S3Gen (10-step CFG CFM) ...")
+    engine = S3GenEngine(s3gen_init(k2, meanflow=False), meanflow=False)
+
+    cond = t3m.T3CondArrays(
+        speaker_emb=jnp.zeros((1, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((1, hp.speech_cond_prompt_len), jnp.int32),
+        emotion_adv=0.5 * jnp.ones((1, 1, 1)),
+    )
+    rng = np.random.default_rng(1)
+    ref = _make_ref(rng)
+    N_TOKENS = 250
+    text = jnp.zeros((1, 32), jnp.int32)
+    sp = SamplerParams.make(temperature=0.8, top_p=1.0, min_p=0.05,
+                            repetition_penalty=1.2, cfg_weight=0.5)
+
+    def step(seed):
+        res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
+                          jax.random.key(seed), max_new_tokens=N_TOKENS,
+                          cfg_mode=True, ignore_eos=True)
+        return np.asarray(res.tokens) % 6561
+
+    _log("compiling 520M CFG decode ...")
+    toks = step(0)
+    _log("compiling 10-step S3Gen ...")
+    engine.inference(toks[None], ref, jax.random.key(11))
+
+    t3_times, s3_times = [], []
+    for i in range(2):
+        t0 = time.perf_counter()
+        toks = step(i + 1)
+        t1 = time.perf_counter()
+        wav = engine.inference(toks[None], ref, jax.random.key(i + 12))
+        assert np.isfinite(wav).all()
+        t2 = time.perf_counter()
+        t3_times.append(t1 - t0)
+        s3_times.append(t2 - t1)
+    audio_sec = N_TOKENS / 25.0
+    xrt = audio_sec / (min(t3_times) + min(s3_times))
+    _log(f"520M CFG: T3 {min(t3_times):.3f}s, S3Gen {min(s3_times):.3f}s "
+         f"→ {xrt:.2f}x realtime")
+    results["cfg520_xrt"] = xrt
+
+
+def main():
+    results = {}
+    ctx = bench_turbo(results)           # primary — must succeed
+
+    extras = [
+        ("ttfa", lambda: bench_ttfa(results, ctx)),
+        ("batch8", lambda: bench_batch8(results, ctx)),
+        ("cfg520", lambda: bench_cfg520(results)),
+    ]
+    for name, fn in extras:
+        if _elapsed() > BUDGET_S:
+            _log(f"time budget exceeded ({_elapsed():.0f}s) — skipping {name}")
+            continue
+        try:
+            fn()
+        except Exception as e:          # never lose the primary metric
+            _log(f"{name} benchmark failed: {e!r}")
+
+    if "ttfa_ms" in results:
+        _emit("ttfa_ms", results["ttfa_ms"], "ms", 200.0 / results["ttfa_ms"])
+    if "batch8_xrt" in results:
+        _emit("batch8_xrt", results["batch8_xrt"], "x_realtime_aggregate",
+              results["batch8_xrt"] / 20.0)
+    if "cfg520_xrt" in results:
+        _emit("cfg520_xrt", results["cfg520_xrt"], "x_realtime",
+              results["cfg520_xrt"] / 10.0)
+    # primary metric LAST (the driver parses the final JSON line)
+    _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
+          results["turbo_xrt"] / 20.0)
 
 
 if __name__ == "__main__":

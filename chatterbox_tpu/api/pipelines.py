@@ -83,6 +83,33 @@ class Conditionals:
     gen: RefDict
 
     def save(self, fpath):
+        """Native .npz save, or reference-compatible .pt export when the
+        path ends in .pt (round-trips with the reference Conditionals.save /
+        T3Cond layout — ref: tts.py:91-103, cond_enc.py:11-38)."""
+        if str(fpath).endswith(".pt"):
+            import torch
+            t = lambda x: torch.from_numpy(np.asarray(x))
+            tok = self.t3.cond_prompt_speech_tokens
+            arg_dict = dict(
+                t3={
+                    "speaker_emb": t(self.t3.speaker_emb).float(),
+                    "clap_emb": None,
+                    "cond_prompt_speech_tokens": (None if tok is None
+                                                  else t(tok).long()),
+                    "cond_prompt_speech_emb": None,
+                    "emotion_adv": torch.full((1, 1, 1),
+                                              float(self.t3.emotion_adv)),
+                },
+                gen={
+                    "prompt_token": t(self.gen.prompt_token).long(),
+                    "prompt_token_len": t(self.gen.prompt_token_len).long(),
+                    "prompt_feat": t(self.gen.prompt_feat).float(),
+                    "prompt_feat_len": None,
+                    "embedding": t(self.gen.embedding).float(),
+                },
+            )
+            torch.save(arg_dict, fpath)
+            return
         tok = self.t3.cond_prompt_speech_tokens
         np.savez(fpath,
                  speaker_emb=self.t3.speaker_emb,

@@ -84,6 +84,33 @@ class TestTurboPipeline:
                                       model.conds.gen.prompt_token)
         np.testing.assert_allclose(loaded.t3.speaker_emb, model.conds.t3.speaker_emb)
 
+    def test_conditionals_pt_roundtrip(self, model, tmp_path):
+        """.pt export must round-trip through our loader AND instantiate the
+        reference T3Cond dataclass (interop with ref: tts.py:91-103)."""
+        if model.conds is None:
+            model._prepare_from_wav(_make_ref_wav(6), 0.0)
+        path = tmp_path / "conds.pt"
+        model.conds.save(str(path))
+        loaded = Conditionals.load(str(path))
+        np.testing.assert_array_equal(loaded.gen.prompt_token,
+                                      model.conds.gen.prompt_token)
+        np.testing.assert_allclose(loaded.gen.prompt_feat,
+                                   model.conds.gen.prompt_feat, atol=1e-6)
+        np.testing.assert_allclose(loaded.t3.speaker_emb,
+                                   model.conds.t3.speaker_emb, atol=1e-6)
+        assert loaded.t3.emotion_adv == model.conds.t3.emotion_adv
+
+        import torch
+        from tests.ref_loader import load_ref_module
+        cond_mod = load_ref_module("chatterbox.models.t3.modules.cond_enc")
+        data = torch.load(str(path), weights_only=True)
+        ref_cond = cond_mod.T3Cond(**data["t3"])     # exact field-name match
+        np.testing.assert_allclose(ref_cond.speaker_emb.numpy(),
+                                   model.conds.t3.speaker_emb, atol=1e-6)
+        assert set(data["gen"].keys()) == {
+            "prompt_token", "prompt_token_len", "prompt_feat",
+            "prompt_feat_len", "embedding"}
+
 
 class TestCfgPipeline:
     def test_english_tts(self, tmp_path):

@@ -1,0 +1,303 @@
+"""Token-level continuous batching: a fixed pool of decode slots that
+requests join and leave at chunk boundaries, without draining the batch.
+
+The reference serves one request at a time (gradio queue concurrency 1 —
+ref: gradio_tts_app.py:90-93); its HF loop cannot admit work mid-decode.
+Here the decode state is an explicit on-device pytree over S slots:
+
+  * every row is left-aligned in its own cache rows and advances at its own
+    position (per-row KV write offsets — models/t3/backbone.py:_write_cache's
+    vmapped dynamic_update_slice path), so rows at different decode depths
+    coexist in one program;
+  * `admit` prefills ONE request into a free slot (a batch-1 prefill whose
+    K/V rows are inserted into the slot cache) while the other rows' state is
+    untouched — an O(prefix) operation, not a batch restart;
+  * `decode_chunk` advances all running rows n_steps together — one
+    weight-bound backbone step serves every active request;
+  * per-row PRNG keys + per-row SamplerParams make each row's output a pure
+    function of its own request (invariant to batchmates — tested).
+
+Turbo/Nano (GPT-2, no CFG) family: the batch dim is requests. The CFG family
+needs 2 physical rows per request; use sampling/batched.py for whole-batch
+CFG serving.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.t3 import backbone as bb
+from ..models.t3 import model as t3m
+from ..models.t3.config import T3Config
+from ..ops import sampling as S
+
+
+class SlotStates(NamedTuple):
+    cache: bb.KVCache          # (L, S, H, T_max, D)
+    logits: jnp.ndarray        # (S, V)
+    seen: jnp.ndarray          # (S, V) bool
+    step: jnp.ndarray          # (S,) tokens generated
+    done: jnp.ndarray          # (S,) bool — hit EOS / per-row cap
+    active: jnp.ndarray        # (S,) bool — slot occupied
+    keys: jnp.ndarray          # (S,) key array
+    prefix_lens: jnp.ndarray   # (S,) dense prefix length
+    max_new: jnp.ndarray       # (S,) per-row generation cap
+    tokens: jnp.ndarray        # (S, cap) generated tokens
+    # per-row sampler params, (S,) each
+    temperature: jnp.ndarray
+    top_p: jnp.ndarray
+    repetition_penalty: jnp.ndarray
+
+
+def init_slots(hp: T3Config, n_slots: int, text_bucket: int,
+               max_new_tokens: int) -> SlotStates:
+    cfg = hp.backbone
+    Lc = t3m.cond_len(hp)
+    t_max = Lc + text_bucket + 1 + max_new_tokens
+    V = hp.speech_tokens_dict_size
+    return SlotStates(
+        cache=bb.KVCache.zeros(cfg, n_slots, t_max, dtype=jnp.bfloat16),
+        logits=jnp.zeros((n_slots, V), jnp.float32),
+        seen=jnp.zeros((n_slots, V), jnp.bool_),
+        step=jnp.zeros((n_slots,), jnp.int32),
+        done=jnp.ones((n_slots,), jnp.bool_),
+        active=jnp.zeros((n_slots,), jnp.bool_),
+        keys=jax.random.split(jax.random.key(0), n_slots),
+        prefix_lens=jnp.zeros((n_slots,), jnp.int32),
+        max_new=jnp.zeros((n_slots,), jnp.int32),
+        tokens=jnp.full((n_slots, max_new_tokens), 0, jnp.int32),
+        temperature=jnp.ones((n_slots,), jnp.float32),
+        top_p=jnp.ones((n_slots,), jnp.float32),
+        repetition_penalty=jnp.ones((n_slots,), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("hp",),
+                   donate_argnames=("state",))
+def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
+          cond: t3m.T3CondArrays, text_tokens: jnp.ndarray,
+          text_len: jnp.ndarray, key, max_new: jnp.ndarray,
+          temperature: jnp.ndarray, top_p: jnp.ndarray,
+          repetition_penalty: jnp.ndarray) -> SlotStates:
+    """Prefill one request (batch-1) and install it in `slot`."""
+    cfg = hp.backbone
+    Lc = t3m.cond_len(hp)
+    Ltp = text_tokens.shape[1]
+    P_pad = Lc + Ltp + 1
+    t_max = state.cache.k.shape[3]
+    V = hp.speech_tokens_dict_size
+
+    ce = t3m.cond_embeds(params, hp, cond)                    # (1, Lc, D)
+    te = jnp.take(params["text_emb"]["w"], text_tokens, axis=0)
+    if hp.input_pos_emb == "learned":
+        te = te + jnp.take(params["text_pos_emb"]["w"], jnp.arange(Ltp), axis=0)
+    bos = t3m.speech_embed_token(
+        params, hp, jnp.full((1,), hp.start_speech_token, jnp.int32),
+        jnp.zeros((), jnp.int32))
+    dt = params["speech_emb"]["w"].dtype
+    x = jnp.concatenate([ce.astype(dt), te.astype(dt),
+                         jnp.zeros_like(bos, dt)], axis=1)
+    x = jax.lax.dynamic_update_slice(x, bos.astype(dt), (0, Lc + text_len, 0))
+    prefill_len = Lc + text_len + 1
+
+    mini = bb.KVCache.zeros(cfg, 1, P_pad, dtype=state.cache.k.dtype)
+    mask = bb.prefill_mask(P_pad, P_pad, jnp.asarray([prefill_len]))
+    positions = jnp.arange(P_pad)[None]
+    hidden, mini = bb.backbone_apply_unrolled(
+        params["backbone"], cfg, x, positions, mini,
+        jnp.zeros((), jnp.int32), mask)
+    last_h = jnp.take_along_axis(
+        hidden, jnp.full((1, 1, 1), prefill_len - 1), axis=1)[:, 0]
+    logits0 = t3m.speech_logits(params, last_h).astype(jnp.float32)[0]
+
+    # install the row: K/V prefix at time offset 0 of the slot's cache rows
+    k = jax.lax.dynamic_update_slice(
+        state.cache.k, mini.k.astype(state.cache.k.dtype),
+        (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        state.cache.v, mini.v.astype(state.cache.v.dtype),
+        (0, slot, 0, 0, 0))
+    del t_max
+    return SlotStates(
+        cache=bb.KVCache(k, v),
+        logits=state.logits.at[slot].set(logits0),
+        seen=state.seen.at[slot].set(jnp.zeros((V,), jnp.bool_)),
+        step=state.step.at[slot].set(0),
+        done=state.done.at[slot].set(False),
+        active=state.active.at[slot].set(True),
+        keys=state.keys.at[slot].set(key),
+        prefix_lens=state.prefix_lens.at[slot].set(prefill_len),
+        max_new=state.max_new.at[slot].set(max_new),
+        tokens=state.tokens.at[slot].set(
+            jnp.full((state.tokens.shape[1],), hp.stop_speech_token, jnp.int32)),
+        temperature=state.temperature.at[slot].set(temperature),
+        top_p=state.top_p.at[slot].set(top_p),
+        repetition_penalty=state.repetition_penalty.at[slot].set(
+            repetition_penalty),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hp", "n_steps", "top_k", "fused_attn"),
+                   donate_argnames=("state",))
+def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
+                       *, n_steps: int, top_k: int = 1000,
+                       fused_attn: bool = False) -> SlotStates:
+    """Advance every running row by up to n_steps tokens (Turbo pipeline)."""
+    cfg = hp.backbone
+    Sn = state.logits.shape[0]
+    V = hp.speech_tokens_dict_size
+    t_max = state.cache.k.shape[3]
+    cap = state.tokens.shape[1]
+    start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
+    sp = S.SamplerParams(
+        temperature=state.temperature[:, None],
+        top_p=state.top_p[:, None],
+        min_p=jnp.zeros((Sn, 1), jnp.float32),
+        repetition_penalty=state.repetition_penalty[:, None],
+        cfg_weight=jnp.zeros((Sn, 1), jnp.float32),
+    )
+
+    class _C(NamedTuple):
+        i: jnp.ndarray
+        st: SlotStates
+
+    def cond_fn(c):
+        return (c.i < n_steps) & jnp.any(c.st.active & ~c.st.done)
+
+    def body_fn(c):
+        s = c.st
+        pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(s.keys)
+        keys_next, subs = pairs[:, 0], pairs[:, 1]
+        running = s.active & ~s.done
+
+        pen = s.seen | (start_onehot[None] & (s.step == 0)[:, None])
+        logits = S.process_logits_turbo(s.logits, pen, sp, top_k)
+        all_filtered = jnp.all(logits <= S.NEG_INF, axis=-1)
+        token = jax.vmap(S.sample_categorical)(subs, logits).astype(jnp.int32)
+        token = jnp.where(all_filtered | ~running, hp.stop_speech_token, token)
+
+        wpos = jnp.clip(s.step, 0, cap - 1)
+        tokens = s.tokens.at[jnp.arange(Sn), wpos].set(
+            jnp.where(running, token, s.tokens[jnp.arange(Sn), wpos]))
+        seen = s.seen.at[jnp.arange(Sn), token].set(
+            running | s.seen[jnp.arange(Sn), token])
+        step = jnp.where(running, s.step + 1, s.step)
+        done = s.done | (running & ((token == hp.stop_speech_token)
+                                    | (step >= s.max_new)))
+
+        emb = t3m.speech_embed_token(params, hp, token, step)
+        pos = s.prefix_lens + s.step                          # (S,) per-row
+        k_pos = jnp.arange(t_max)[None, :]
+        kv_mask = (k_pos <= pos[:, None])[:, None, None]      # (S,1,1,T)
+        # keys_next for finished rows keep advancing — harmless, and keeps
+        # the loop state shape fixed
+        hidden, cache = bb.backbone_apply_unrolled(
+            params["backbone"], cfg, emb, pos[:, None], s.cache,
+            pos, kv_mask, fused_attn=fused_attn)
+        logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
+        logits_new = jnp.where(running[:, None], logits_new, s.logits)
+        st = s._replace(cache=cache, logits=logits_new, seen=seen, step=step,
+                        done=done, keys=keys_next, tokens=tokens)
+        return _C(c.i + 1, st)
+
+    f = jax.lax.while_loop(cond_fn, body_fn, _C(jnp.zeros((), jnp.int32), state))
+    return f.st
+
+
+class ContinuousTTSServer:
+    """Host-side serving loop over the slot machine: submit anytime; requests
+    join at the next chunk boundary and are harvested the moment their row
+    finishes — no batch drain."""
+
+    def __init__(self, t3_params, hp: T3Config, n_slots: int = 8,
+                 text_bucket: int = 64, max_new_tokens: int = 1000,
+                 chunk: int = 16, top_k: int = 1000, seed: int = 0,
+                 s3gen=None):
+        self.t3_params = t3_params
+        self.hp = hp
+        self.n_slots = n_slots
+        self.text_bucket = text_bucket
+        self.max_new_tokens = max_new_tokens
+        self.chunk = chunk
+        self.top_k = top_k
+        self.s3gen = s3gen
+        self.state = init_slots(hp, n_slots, text_bucket, max_new_tokens)
+        self._key = jax.random.key(seed)
+        self._pending: list = []            # (request, ) FIFO
+        self._slot_req: list = [None] * n_slots
+        self.results: dict = {}             # request_id -> np token array
+
+    # ------------------------------------------------------------------
+    def submit(self, req) -> None:
+        """req: serve.batching.TTSRequest (turbo framing)."""
+        self._pending.append(req)
+
+    def _admit_pending(self):
+        for slot in range(self.n_slots):
+            if not self._pending:
+                break
+            if self._slot_req[slot] is not None:
+                continue
+            req = self._pending.pop(0)
+            ids = np.asarray(req.text_tokens).reshape(-1)[: self.text_bucket]
+            text = np.zeros((1, self.text_bucket), np.int32)
+            text[0, : len(ids)] = ids
+            self._key, k = jax.random.split(self._key)
+            key = jax.random.key(req.seed) if req.seed is not None else k
+            spr = req.sampler
+            self.state = admit(
+                self.t3_params, self.hp, self.state, jnp.asarray(slot),
+                req.cond.as_arrays() if hasattr(req.cond, "as_arrays")
+                else req.cond,
+                jnp.asarray(text), jnp.asarray(len(ids), jnp.int32), key,
+                jnp.asarray(self.max_new_tokens, jnp.int32)
+                if getattr(req, "max_new", None) is None
+                else jnp.asarray(req.max_new, jnp.int32),
+                jnp.asarray(float(spr.temperature) if spr else 0.8),
+                jnp.asarray(float(spr.top_p) if spr else 0.95),
+                jnp.asarray(float(spr.repetition_penalty) if spr else 1.2),
+            )
+            self._slot_req[slot] = req
+
+    def _harvest(self):
+        done = np.asarray(self.state.done)
+        active = np.asarray(self.state.active)
+        finished = [i for i in range(self.n_slots)
+                    if active[i] and done[i] and self._slot_req[i] is not None]
+        if not finished:
+            return []
+        steps = np.asarray(self.state.step)
+        tokens = np.asarray(self.state.tokens)
+        out = []
+        for i in finished:
+            req = self._slot_req[i]
+            t = tokens[i, : steps[i]]
+            t = t[t < 6561]                       # strip EOS/specials
+            self.results[req.request_id] = t
+            out.append(req.request_id)
+            self._slot_req[i] = None
+            self.state = self.state._replace(
+                active=self.state.active.at[i].set(False))
+        return out
+
+    def step(self) -> list:
+        """One scheduling round: admit pending → decode a chunk → harvest.
+        Returns the request_ids completed this round."""
+        self._admit_pending()
+        if not any(r is not None for r in self._slot_req):
+            return []
+        self.state = decode_chunk_multi(self.t3_params, self.hp, self.state,
+                                        n_steps=self.chunk, top_k=self.top_k)
+        return self._harvest()
+
+    def run_until_idle(self, max_rounds: int = 10_000) -> dict:
+        for _ in range(max_rounds):
+            self.step()
+            if not self._pending and all(r is None for r in self._slot_req):
+                break
+        return self.results

@@ -35,6 +35,7 @@ class TTSRequest:
     sampler: Optional[SamplerParams] = None
     request_id: int = 0
     seed: Optional[int] = None         # per-request RNG seed (reproducible rows)
+    max_new: Optional[int] = None      # per-request token cap (continuous serving)
 
 
 @dataclasses.dataclass

@@ -1,0 +1,99 @@
+"""Token-level continuous batching tests (tiny config, CPU).
+
+The VERDICT done-criterion: a request submitted mid-decode completes without
+waiting for the batch to drain, with per-request outputs unchanged vs
+isolated runs.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatterbox_tpu.models.t3.config import T3Config
+from chatterbox_tpu.models.t3 import model as t3m
+from chatterbox_tpu.ops.sampling import SamplerParams
+from chatterbox_tpu.sampling.continuous import ContinuousTTSServer
+from chatterbox_tpu.serve.batching import TTSRequest
+from chatterbox_tpu.api.pipelines import T3CondHost
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hp = T3Config.tiny_test("gpt2")
+    params = t3m.t3_init(jax.random.key(0), hp)
+    cond = T3CondHost(np.zeros((1, 256), np.float32),
+                      np.zeros((1, hp.speech_cond_prompt_len), np.int32))
+    return hp, params, cond
+
+
+def _req(cond, rid, seed, n_text=5, max_new=None, temperature=0.8):
+    rng = np.random.default_rng(seed)
+    return TTSRequest(
+        text_tokens=rng.integers(1, 60, n_text).astype(np.int32),
+        cond=cond, request_id=rid, seed=seed, max_new=max_new,
+        sampler=SamplerParams.make(temperature=temperature, cfg_weight=0.0))
+
+
+def _server(hp, params, **kw):
+    return ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                               max_new_tokens=24, chunk=4, top_k=40, **kw)
+
+
+class TestContinuousBatching:
+    def test_mid_decode_admission_no_drain(self, setup):
+        """r2 joins while r1 is mid-decode and finishes while r1 is still
+        running — no waiting for the batch to drain."""
+        hp, params, cond = setup
+        srv = _server(hp, params)
+        r1 = _req(cond, rid=1, seed=100, max_new=24)    # long request
+        r2 = _req(cond, rid=2, seed=200, max_new=4)     # short request
+        srv.submit(r1)
+        srv.step()                                      # r1 decodes a chunk
+        assert 1 not in srv.results
+        srv.submit(r2)                                  # mid-decode admission
+        finished = srv.step()                           # r2 joins + decodes 4
+        assert 2 in finished or 2 in srv.results        # r2 done this round
+        # r1 must still be in flight (not drained)
+        assert 1 not in srv.results
+        srv.run_until_idle()
+        assert set(srv.results) == {1, 2}
+        assert len(srv.results[2]) <= 4
+
+    def test_outputs_match_isolated_runs(self, setup):
+        """Per-request outputs are unchanged whether a request runs alone or
+        joins a running batch mid-decode (same per-request seeds)."""
+        hp, params, cond = setup
+        reqs = [_req(cond, rid=i, seed=300 + i, n_text=4 + i, max_new=12,
+                     temperature=0.6 + 0.2 * i) for i in range(3)]
+
+        # isolated: each request alone on a fresh server
+        iso = {}
+        for r in reqs:
+            srv = _server(hp, params)
+            srv.submit(r)
+            iso.update(srv.run_until_idle())
+
+        # staggered: submit at different chunk boundaries
+        srv = _server(hp, params)
+        srv.submit(reqs[0])
+        srv.step()
+        srv.submit(reqs[1])
+        srv.step()
+        srv.submit(reqs[2])
+        srv.run_until_idle()
+
+        for r in reqs:
+            np.testing.assert_array_equal(
+                srv.results[r.request_id], iso[r.request_id],
+                err_msg=f"request {r.request_id}")
+
+    def test_more_requests_than_slots(self, setup):
+        """Queue pressure: 6 requests through 3 slots all complete."""
+        hp, params, cond = setup
+        srv = _server(hp, params)
+        for i in range(6):
+            srv.submit(_req(cond, rid=i, seed=400 + i, max_new=6))
+        results = srv.run_until_idle()
+        assert set(results) == set(range(6))
+        for t in results.values():
+            assert (t < 6561).all()

@@ -262,7 +262,8 @@ class S3GenEngine:
         k1, k2 = jax.random.split(key)
         gen_mels, _ = self.flow_to_mel(speech_tokens, ref, k1, n_timesteps)
         wav = self.mel_to_wav(gen_mels, k2)
-        wav[:, : len(self._trim_fade)] *= self._trim_fade
+        n = min(wav.shape[1], len(self._trim_fade))
+        wav[:, :n] *= self._trim_fade[:n]
         return wav
 
     # ------------------------------------------------------------------
@@ -313,7 +314,8 @@ class S3GenEngine:
         out = []
         for i in range(B):
             w = wavs[i, : gen_lens[i] * TOTAL_UPSAMPLE]
-            w[: len(self._trim_fade)] *= self._trim_fade
+            n = min(len(w), len(self._trim_fade))
+            w[:n] *= self._trim_fade[:n]
             out.append(w)
         return out
 

@@ -231,6 +231,7 @@ class ContinuousTTSServer:
         self._pending: list = []            # (request, ) FIFO
         self._slot_req: list = [None] * n_slots
         self.results: dict = {}             # request_id -> np token array
+        self.wavs: dict = {}                # request_id -> waveform (if vocoding)
 
     # ------------------------------------------------------------------
     def submit(self, req) -> None:
@@ -279,6 +280,11 @@ class ContinuousTTSServer:
             t = tokens[i, : steps[i]]
             t = t[t < 6561]                       # strip EOS/specials
             self.results[req.request_id] = t
+            if self.s3gen is not None and getattr(req, "ref", None) is not None:
+                self._key, k = jax.random.split(self._key)
+                self.wavs[req.request_id] = self.s3gen.inference(
+                    t[None] if len(t) else np.zeros((1, 1), np.int32),
+                    req.ref, k)[0]
             out.append(req.request_id)
             self._slot_req[i] = None
             self.state = self.state._replace(

@@ -36,12 +36,14 @@ class TTSRequest:
     request_id: int = 0
     seed: Optional[int] = None         # per-request RNG seed (reproducible rows)
     max_new: Optional[int] = None      # per-request token cap (continuous serving)
+    ref: "object" = None               # optional S3Gen RefDict → vocode the result
 
 
 @dataclasses.dataclass
 class TTSResult:
     request_id: int
     speech_tokens: np.ndarray          # filtered (<6561), no EOS
+    wav: Optional[np.ndarray] = None   # synthesized audio (when the loop vocodes)
 
 
 class BatchDecoder:
@@ -142,16 +144,20 @@ class TTSServer:
 
 
 class ServingLoop:
-    """A minimal continuous-serving loop: collects requests from a queue into
-    batches (up to max_batch or a wait timeout) and invokes a result callback.
-    Dynamic (in-flight) batching — new requests join at batch boundaries;
-    true token-level continuous batching is roadmap."""
+    """A whole-batch continuous-serving loop: collects requests from a queue
+    into batches (up to max_batch or a wait timeout), decodes them together,
+    vocodes (one batched S3Gen call) when requests carry a RefDict, and
+    invokes the result callback with finished audio. New requests join at
+    batch boundaries; for token-level admission use
+    sampling.continuous.ContinuousTTSServer."""
 
     def __init__(self, decoder: BatchDecoder, on_result: Callable[[TTSResult], None],
-                 batch_wait_s: float = 0.02):
+                 batch_wait_s: float = 0.02, s3gen=None, seed: int = 0):
         self.decoder = decoder
         self.on_result = on_result
         self.batch_wait_s = batch_wait_s
+        self.s3gen = s3gen
+        self._key = jax.random.key(seed + 7)
         self._q: "queue.Queue[TTSRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -181,5 +187,15 @@ class ServingLoop:
                     batch.append(self._q.get(timeout=deadline))
                 except queue.Empty:
                     break
-            for result in self.decoder.decode_batch(batch):
+            results = self.decoder.decode_batch(batch)
+            if self.s3gen is not None and all(r.ref is not None for r in batch):
+                by_id = {r.request_id: r for r in results}
+                ordered = [by_id[req.request_id] for req in batch]
+                self._key, k = jax.random.split(self._key)
+                wavs = self.s3gen.inference_batch(
+                    [r.speech_tokens for r in ordered],
+                    [req.ref for req in batch], k)
+                for r, w in zip(ordered, wavs):
+                    r.wav = w
+            for result in results:
                 self.on_result(result)

@@ -87,6 +87,32 @@ class TestContinuousBatching:
                 srv.results[r.request_id], iso[r.request_id],
                 err_msg=f"request {r.request_id}")
 
+    def test_continuous_with_vocoding(self, setup):
+        """Full continuous serving: tokens AND audio per request."""
+        from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, S3GEN_SR
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        hp, params, cond = setup
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(2), meanflow=True,
+                                     tok_cfg=tok_cfg, dims=dims, hift_base=32),
+                          meanflow=True, tok_cfg=tok_cfg, dims=dims,
+                          n_timesteps=2)
+        rng = np.random.default_rng(9)
+        ref = eng.embed_ref((rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+                            S3GEN_SR)
+        srv = _server(hp, params, s3gen=eng)
+        for i in range(2):
+            r = _req(cond, rid=i, seed=500 + i, max_new=6)
+            r.ref = ref
+            srv.submit(r)
+        srv.run_until_idle()
+        assert set(srv.wavs) == {0, 1}
+        for rid, w in srv.wavs.items():
+            assert np.isfinite(w).all()
+            assert len(w) == max(len(srv.results[rid]), 1) * 2 * 480
+
     def test_more_requests_than_slots(self, setup):
         """Queue pressure: 6 requests through 3 slots all complete."""
         hp, params, cond = setup

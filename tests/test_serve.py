@@ -209,6 +209,40 @@ class TestBatchedS3Gen:
             assert np.isfinite(w).all()
             assert np.abs(w[:480]).max() == 0.0  # trim fade applied per row
 
+    def test_serving_loop_with_vocoding(self, setup):
+        """ServingLoop joined with S3Gen: results carry finished audio."""
+        from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, S3GEN_SR
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        hp, params = setup
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(6), tok_cfg=tok_cfg,
+                                     dims=dims, hift_base=32),
+                          tok_cfg=tok_cfg, dims=dims, n_timesteps=2)
+        rng = np.random.default_rng(8)
+        ref = eng.embed_ref((rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+                            S3GEN_SR)
+        dec = BatchDecoder(params, hp, max_batch=4, max_new_tokens=6, top_k=40)
+        results = []
+        loop = ServingLoop(dec, on_result=results.append, batch_wait_s=0.05,
+                           s3gen=eng)
+        loop.start()
+        cond = T3CondHost(np.zeros((1, 256), np.float32),
+                          np.zeros((1, hp.speech_cond_prompt_len), np.int32))
+        for i in range(2):
+            loop.submit(TTSRequest(text_tokens=np.arange(1, 6, dtype=np.int32),
+                                   cond=cond, request_id=i, ref=ref))
+        import time
+        for _ in range(300):
+            if len(results) == 2:
+                break
+            time.sleep(0.2)
+        loop.stop()
+        assert len(results) == 2
+        for r in results:
+            assert r.wav is not None and np.isfinite(r.wav).all()
+
     def test_tts_server_end_to_end(self, setup):
         from chatterbox_tpu.serve.batching import TTSServer
         from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, S3GEN_SR

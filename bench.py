@@ -70,11 +70,14 @@ def bench_turbo(results):
     k1, k2 = jax.random.split(jax.random.key(0))
     use_int8 = os.environ.get("CHATTERBOX_BENCH_BF16") != "1"
     _log(f"building Turbo T3 (GPT2-medium, int8={use_int8}) ...")
+    # NOTE: init stays as per-op on-device dispatch. Measured alternatives on
+    # the axon relay: jit-ing the whole init compiles a huge one-off program
+    # (>400 s), and host-side init + device_put moves ~400 MB at ~2 MB/s
+    # (~180 s). Plain dispatch generates weights on-device with tiny messages.
     t3_params = cast_params(t3m.t3_init(k1, hp), jnp.bfloat16)
     if use_int8:
         from chatterbox_tpu.utils.quantize import quantize_t3_backbone
         t3_params = quantize_t3_backbone(t3_params)
-
     _log("building S3Gen (meanflow) ...")
     engine = S3GenEngine(s3gen_init(k2, meanflow=True), meanflow=True)
 
@@ -206,6 +209,7 @@ def bench_cfg520(results):
     k1, k2 = jax.random.split(jax.random.key(10))
     use_int8 = os.environ.get("CHATTERBOX_BENCH_BF16") != "1"
     _log(f"building 520M T3 (llama, int8={use_int8}) ...")
+
     t3_params = cast_params(t3m.t3_init(k1, hp), jnp.bfloat16)
     if use_int8:
         from chatterbox_tpu.utils.quantize import quantize_t3_backbone

@@ -44,6 +44,18 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
         # weight read; per-output-channel scale applied post-matmul
         y = x @ p["w_q"].astype(x.dtype)
         y = y * p["w_scale"].astype(y.dtype)
+    elif "w_q4" in p:
+        # weight-only int4 (split-half nibble-packed, ops/int4_matmul.py):
+        # grid-pipelined Pallas kernel unpacks in VMEM — halves the decode
+        # step's weight HBM traffic vs int8
+        from ..ops.int4_matmul import matmul_int4, matmul_int4_xla
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if x2.shape[0] <= 8:
+            y = matmul_int4(x2, p["w_q4"], p["w_scale4_lo"], p["w_scale4_hi"])
+        else:  # prefill-sized rows: one XLA unpack amortizes fine
+            y = matmul_int4_xla(x2, p["w_q4"], p["w_scale4_lo"], p["w_scale4_hi"])
+        y = y.astype(x.dtype).reshape(*lead, -1)
     else:
         y = x @ p["w"]
     if "b" in p:

@@ -109,7 +109,33 @@ def process_logits_turbo(logits, seen, sp: SamplerParams, top_k: int):
     """The Turbo pipeline (ref: t3.py:396-404):
     temperature → top_k → top_p → repetition penalty.
     (HF warpers skip when at neutral settings: temp==1, top_p>=1, pen==1 —
-    the formulas below are identity at those values anyway.)"""
+    the formulas below are identity at those values anyway.)
+
+    Implemented with ONE descending sort: sequential top_k-then-top_p keeps
+    exactly {l >= max(kth_value, top_p_threshold)} where the top_p cumulative
+    mass is taken over the top_k-masked softmax — both cutoffs fall out of
+    the same sorted array. Equivalence to the op-by-op chain is tested
+    (tests/test_sampling.py)."""
+    V = logits.shape[-1]
+    l = apply_temperature(logits, sp.temperature)
+    sorted_l = jnp.sort(l, axis=-1)[..., ::-1]
+    ranks = jnp.arange(V)
+    if 0 < top_k < V:
+        masked = jnp.where(ranks < top_k, sorted_l, NEG_INF)
+    else:
+        masked = sorted_l
+    probs = jax.nn.softmax(masked, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < sp.top_p
+    if 0 < top_k < V:
+        keep = keep & (ranks < top_k)
+    threshold = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1, keepdims=True)
+    l = jnp.where(l < threshold, NEG_INF, l)
+    return apply_repetition_penalty(l, seen, sp.repetition_penalty)
+
+
+def process_logits_turbo_unfused(logits, seen, sp: SamplerParams, top_k: int):
+    """Op-by-op reference for the fused pipeline above (test oracle)."""
     logits = apply_temperature(logits, sp.temperature)
     logits = apply_top_k(logits, top_k)
     logits = apply_top_p(logits, sp.top_p)

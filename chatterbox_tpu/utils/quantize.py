@@ -23,18 +23,72 @@ def quantize_linear_weight(w: jnp.ndarray):
     return w_q, scale.astype(jnp.float32)
 
 
-def quantize_tree(params, min_size: int = 1 << 16):
-    """Replace {"w": 2-D float} dicts with {"w_q", "w_scale"} throughout a
-    param tree (only matmul weights above min_size elements)."""
+INT4_GROUP = 256          # contraction-dim group per scale (= kernel k-tile)
+
+
+def quantize_linear_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP):
+    """(in, out) float -> (w_q4 int8 (in//2, out) nibble-packed split-half,
+                           scale_lo/scale_hi (in//2//group, out) fp32).
+
+    Group-wise symmetric scales along the contraction dim: int4 has only 15
+    levels, so per-output-channel scaling (the int8 scheme) loses too much.
+
+    SPLIT-HALF packing: byte[r, n] holds row r in the low nibble and row
+    r + in/2 in the high nibble. Unpacking is then two shift ops + NO row
+    interleave — the int4 matvec kernel (ops/int4_matmul.py) computes
+    x_lo @ W_lo + x_hi @ W_hi directly from the packed block, and the scales
+    are constant within a k-tile so they apply AFTER the dot. (Native
+    jnp.int4 arrays hit a relay bug when passed as jit arguments on the axon
+    backend, so the packing is explicit.)"""
+    in_dim, out_dim = w.shape
+    assert in_dim % 2 == 0
+    half = in_dim // 2
+    if half % group != 0:
+        group = half                         # degenerate: one group per half
+    n_g = half // group
+
+    def q_half(wh):                          # (half, out) -> int8 vals + scale
+        wg = wh.astype(jnp.float32).reshape(n_g, group, out_dim)
+        amax = jnp.max(jnp.abs(wg), axis=1)
+        scale = jnp.maximum(amax / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+        return q.reshape(half, out_dim).astype(jnp.int8), scale.astype(jnp.float32)
+
+    q_lo, s_lo = q_half(w[:half])
+    q_hi, s_hi = q_half(w[half:])
+    packed = (jnp.left_shift(q_hi, 4) | (q_lo & 0x0F)).astype(jnp.int8)
+    return packed, s_lo, s_hi
+
+
+def unpack_int4(w_packed: jnp.ndarray, dtype=jnp.float32):
+    """(in//2, out) split-half packed int8 -> (lo (in//2,out), hi (in//2,out))
+    int values in [-7, 7] (rows [0, in/2) and [in/2, in) respectively)."""
+    lo = jnp.right_shift(jnp.left_shift(w_packed, 4), 4)      # sign-extend
+    hi = jnp.right_shift(w_packed, 4)                         # arithmetic
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def quantize_tree(params, min_size: int = 1 << 16, mode: str = "int8",
+                  group: int = INT4_GROUP):
+    """Replace {"w": 2-D float} dicts with {"w_q", "w_scale"} (int8) or
+    {"w_q4", "w_scale4"} (int4) throughout a param tree (only matmul weights
+    above min_size elements)."""
     def walk(node):
         if isinstance(node, dict):
             if ("w" in node and hasattr(node["w"], "ndim") and node["w"].ndim == 2
                     and node["w"].size >= min_size
                     and jnp.issubdtype(node["w"].dtype, jnp.floating)):
-                w_q, scale = quantize_linear_weight(node["w"])
                 out = {k: walk(v) for k, v in node.items() if k != "w"}
-                out["w_q"] = w_q
-                out["w_scale"] = scale
+                from ..ops.int4_matmul import int4_supported
+                if mode == "int4" and int4_supported(*node["w"].shape):
+                    w_q, s_lo, s_hi = quantize_linear_weight_int4(node["w"], group)
+                    out["w_q4"] = w_q
+                    out["w_scale4_lo"] = s_lo
+                    out["w_scale4_hi"] = s_hi
+                else:
+                    w_q, scale = quantize_linear_weight(node["w"])
+                    out["w_q"] = w_q
+                    out["w_scale"] = scale
                 return out
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):
@@ -43,14 +97,16 @@ def quantize_tree(params, min_size: int = 1 << 16):
     return walk(params)
 
 
-def quantize_t3_backbone(t3_params: dict) -> dict:
+def quantize_t3_backbone(t3_params: dict, mode: str = "int8") -> dict:
     """Quantize the backbone layers + output heads of a T3 param tree
     (embeddings incl. wpe, norms and the cond encoder stay in float — they
-    are gathers or tiny)."""
+    are gathers or tiny). The heads stay int8 even in int4 mode: their
+    output dim (vocab) isn't tile-aligned for the int4 kernel, and the head
+    read is a small fraction of the step."""
     out = dict(t3_params)
     backbone = dict(t3_params["backbone"])
-    backbone["layers"] = quantize_tree(t3_params["backbone"]["layers"])
+    backbone["layers"] = quantize_tree(t3_params["backbone"]["layers"], mode=mode)
     out["backbone"] = backbone
-    out["speech_head"] = quantize_tree(t3_params["speech_head"])
-    out["text_head"] = quantize_tree(t3_params["text_head"])
+    out["speech_head"] = quantize_tree(t3_params["speech_head"], mode="int8")
+    out["text_head"] = quantize_tree(t3_params["text_head"], mode="int8")
     return out

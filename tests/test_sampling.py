@@ -54,6 +54,29 @@ class TestProcessors:
         out = np.asarray(S.cfg_combine(c, u, 0.5))
         np.testing.assert_allclose(out, [1.25, 1.5])
 
+    def test_fused_turbo_chain_matches_unfused(self):
+        """The single-sort turbo pipeline must equal the op-by-op chain for
+        scalar and per-row sampler params, with and without top_k."""
+        rng = np.random.default_rng(0)
+        for b, v, k in [(1, 128, 40), (4, 6563, 1000), (3, 257, 0),
+                        (2, 64, 64)]:
+            logits = jnp.asarray(rng.standard_normal((b, v)) * 4.0, jnp.float32)
+            seen = jnp.asarray(rng.random((b, v)) < 0.1)
+            for sp in [
+                S.SamplerParams.make(temperature=0.8, top_p=0.95,
+                                     repetition_penalty=1.2, cfg_weight=0.0),
+                S.SamplerParams(
+                    temperature=jnp.asarray(rng.uniform(0.5, 2.0, (b, 1)), jnp.float32),
+                    top_p=jnp.asarray(rng.uniform(0.5, 1.0, (b, 1)), jnp.float32),
+                    min_p=jnp.zeros((b, 1), jnp.float32),
+                    repetition_penalty=jnp.asarray(rng.uniform(1.0, 1.6, (b, 1)), jnp.float32),
+                    cfg_weight=jnp.zeros((b, 1), jnp.float32)),
+            ]:
+                got = np.asarray(S.process_logits_turbo(logits, seen, sp, k))
+                want = np.asarray(S.process_logits_turbo_unfused(logits, seen, sp, k))
+                np.testing.assert_allclose(got, want, atol=1e-5,
+                                           err_msg=f"b={b} v={v} k={k}")
+
     def test_categorical_respects_filtering(self):
         import jax
         logits = jnp.full((128,), S.NEG_INF)

@@ -270,7 +270,20 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
     all_k, all_v = cache.k, cache.v
     shared_start = start.ndim == 0
     for i, lp in enumerate(params["layers"]):
-        if cfg.is_gpt:
+        # fused decode-layer fast path: two pallas launches per layer
+        # (LN1+QKV, attn_out+LN2+MLP) with int4 weight streaming —
+        # ops/fused_layer.py. Single-token steps only.
+        fused_layer = cfg.is_gpt and "fused" in lp and x.shape[1] == 1
+        if fused_layer:
+            from ...ops.fused_layer import apply_fused_gpt2_qkv
+            qkv = apply_fused_gpt2_qkv(
+                lp["fused"], x[:, 0], cfg.layer_norm_eps
+            ).astype(x.dtype)[:, None, :]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = nn.split_heads(q, cfg.num_heads)
+            k = nn.split_heads(k, cfg.num_heads)
+            v = nn.split_heads(v, cfg.num_heads)
+        elif cfg.is_gpt:
             y = nn.layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
             qkv = nn.linear(lp["qkv"], y)
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -302,7 +315,12 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
             ck = jnp.repeat(ck, rep, axis=1)
             cv = jnp.repeat(cv, rep, axis=1)
         attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
-        if cfg.is_gpt:
+        if fused_layer:
+            from ...ops.fused_layer import apply_fused_gpt2_mlp
+            x = apply_fused_gpt2_mlp(
+                lp["fused"], nn.merge_heads(attn)[:, 0].astype(x.dtype),
+                x[:, 0], cfg.layer_norm_eps).astype(x.dtype)[:, None, :]
+        elif cfg.is_gpt:
             x = x + nn.linear(lp["attn_out"], nn.merge_heads(attn))
             y = nn.layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
             x = x + nn.linear(lp["fc_out"], nn.gelu_new(nn.linear(lp["fc_in"], y)))

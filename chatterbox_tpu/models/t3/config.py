@@ -61,12 +61,20 @@ LLAMA_TINY_TEST = BackboneConfig(
     head_dim=16, intermediate_size=256, num_kv_heads=4,
 )
 
+# smallest shape satisfying the fused decode-layer kernel tile constraints
+# (ops/fused_layer.py: D % 512 == 0, I/2 % 512 == 0) — CPU interpret tests
+GPT2_FUSED_TEST = BackboneConfig(
+    family="gpt2", hidden_size=512, num_layers=2, num_heads=8,
+    head_dim=64, intermediate_size=2048, vocab_size=96,
+)
+
 BACKBONES = {
     "Llama_520M": LLAMA_520M,
     "GPT2_medium": GPT2_MEDIUM,
     "GPT2_small": GPT2_SMALL,
     "GPT2_tiny_test": GPT2_TINY_TEST,
     "Llama_tiny_test": LLAMA_TINY_TEST,
+    "GPT2_fused_test": GPT2_FUSED_TEST,
 }
 
 

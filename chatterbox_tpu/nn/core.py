@@ -56,6 +56,15 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
         else:  # prefill-sized rows: one XLA unpack amortizes fine
             y = matmul_int4_xla(x2, p["w_q4"], p["w_scale4_lo"], p["w_scale4_hi"])
         y = y.astype(x.dtype).reshape(*lead, -1)
+    elif "w_q4c" in p:
+        # COLUMN-split int4 packing (fc_in inside a fused decode layer —
+        # ops/fused_layer.py). Only prefill reaches this branch; the decode
+        # step consumes w_q4c inside the fused kernel directly.
+        from ..ops.int4_matmul import matmul_int4c_xla
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        y = matmul_int4c_xla(x2, p["w_q4c"], p["w_scale4c_lo"], p["w_scale4c_hi"])
+        y = y.astype(x.dtype).reshape(*lead, -1)
     else:
         y = x @ p["w"]
     if "b" in p:

@@ -105,6 +105,25 @@ def matmul_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale_lo: jnp.ndarray,
     )(x, w_packed, scale_lo, scale_hi)
 
 
+def matmul_int4c_xla(x: jnp.ndarray, w_packed: jnp.ndarray,
+                     scale_lo: jnp.ndarray, scale_hi: jnp.ndarray):
+    """XLA path for COLUMN-split int4 packing (quantize_linear_weight_int4_
+    colsplit): w_packed (K, N/2), byte[r,c] = (W[r,c] lo, W[r, c+N/2] hi);
+    scales (K//group, N/2) along the contraction dim. Used for prefill-sized
+    inputs; the decode path consumes this packing inside the fused layer
+    kernel (ops/fused_layer.py)."""
+    from ..utils.quantize import unpack_int4
+    K, NH = w_packed.shape
+    n_g = scale_lo.shape[0]
+    g = K // n_g
+    lo, hi = unpack_int4(w_packed, x.dtype)
+    w_lo = (lo.reshape(n_g, g, NH) * scale_lo[:, None, :].astype(x.dtype)
+            ).reshape(K, NH)
+    w_hi = (hi.reshape(n_g, g, NH) * scale_hi[:, None, :].astype(x.dtype)
+            ).reshape(K, NH)
+    return jnp.concatenate([x @ w_lo, x @ w_hi], axis=-1).astype(jnp.float32)
+
+
 def matmul_int4_xla(x: jnp.ndarray, w_packed: jnp.ndarray,
                     scale_lo: jnp.ndarray, scale_hi: jnp.ndarray):
     """Pure-XLA reference/fallback (slow on TPU: the unpack materializes)."""

@@ -58,6 +58,125 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
 
+# ---------------------------------------------------------------------------
+# streamed flash-decode kernel
+# ---------------------------------------------------------------------------
+
+TT = 256          # cache tile (keys per grid step)
+
+
+def _flash_decode_kernel(lt_ref, cl_ref, q_ref, k_ref, v_ref, out_ref,
+                         m_scr, l_scr, acc_scr):
+    """Grid (B, T//TT), t innermost. Scalar-prefetch: lt (B,) last valid tile,
+    cl (B,) current length. q (1, H, D); k/v (1, H, TT, D) streamed tiles —
+    the index map clamps t to lt[b], so tiles past the valid region repeat
+    the previous block index and Pallas SKIPS their DMA: the HBM traffic per
+    step is O(cur_len), not O(T_max). Flash accumulation (running max / sum)
+    in f32 scratch; out (1, H, D) written on the last tile."""
+    b, t = pl.program_id(0), pl.program_id(1)
+    n_t = pl.num_programs(1)
+    H, D = q_ref.shape[1], q_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(t <= lt_ref[b])
+    def _():
+        # k-leading operand order + f32 operands: Mosaic only lowers batched
+        # matvecs as [B,N,K]x[B,K] with f32 (bf16 variants fail to compile)
+        q = q_ref[0].astype(jnp.float32)                # (H, D)
+        k = k_ref[0].astype(jnp.float32)                # (H, TT, D)
+        scale = 1.0 / (D ** 0.5)
+        scores = jax.lax.dot_general(
+            k, q,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                       # (H, TT) f32
+        pos = t * TT + jax.lax.broadcasted_iota(jnp.int32, (H, TT), 1)
+        valid = pos <= cl_ref[b]
+        scores = jnp.where(valid, scores, -jnp.inf)
+        m_prev = m_scr[:, 0:1]                          # (H, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        # all-masked tile guard (can't happen for t<=lt, but keep exp finite)
+        m_new = jnp.maximum(m_new, -3.0e38)
+        alpha = jnp.exp(m_prev - m_new)                 # (H, 1)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # v^T-leading f32 batched matvec: (H, D, TT) x (H, TT) -> (H, D).
+        # The transpose keeps the contraction on the LAST dim of both
+        # operands (the only batched-matvec form Mosaic lowers).
+        pv = jax.lax.dot_general(
+            jnp.swapaxes(v_ref[0].astype(jnp.float32), 1, 2), p,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # (H, D) f32
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:, 0:1] = m_new
+        l_scr[:, 0:1] = l_new
+
+    @pl.when(t == n_t - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        out_ref[0] = (acc_scr[:] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_streamed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                              cur_len: jnp.ndarray,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """Streamed single-token decode attention over the KV cache.
+
+    q: (B, H, 1, D); k/v: (B, H, T, D) with T % TT == 0; cur_len: (B,) —
+    keys at positions <= cur_len[b] attend. Returns (B, H, 1, D).
+
+    Unlike `decode_attention` (whole-slice VMEM copy-in, blocking), the
+    cache streams in TT-sized tiles that Pallas double-buffers across grid
+    steps, and tiles beyond cur_len[b] are never fetched (clamped block
+    index ⇒ DMA skipped), so per-step attention cost tracks the true
+    sequence length — the static T_max buffer is free."""
+    B, H, _, D = q.shape
+    T = k.shape[2]
+    assert T % TT == 0, f"cache length {T} not a multiple of {TT}"
+    if interpret is None:
+        interpret = not _on_tpu()
+    n_t = T // TT
+    cur_len = cur_len.astype(jnp.int32)
+    last_tile = jnp.minimum(cur_len // TT, n_t - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, TT, D),
+                         lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b]), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, TT, D),
+                         lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b]), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 128), jnp.float32),   # running max (col 0)
+            pltpu.VMEM((H, 128), jnp.float32),   # running sum (col 0)
+            pltpu.VMEM((H, D), jnp.float32),     # weighted-value accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        _flash_decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(last_tile, cur_len, q[:, :, 0], k, v)
+    return out[:, :, None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      cur_len: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:

@@ -60,6 +60,36 @@ def quantize_linear_weight_int4(w: jnp.ndarray, group: int = INT4_GROUP):
     return packed, s_lo, s_hi
 
 
+def quantize_linear_weight_int4_colsplit(w: jnp.ndarray, group: int = INT4_GROUP):
+    """(in, out) float -> (w_q4c int8 (in, out//2) nibble-packed COLUMN-split,
+                           scale_lo/scale_hi (in//group, out//2) fp32).
+
+    Column-split packing: byte[r, c] holds W[r, c] in the low nibble and
+    W[r, c + out/2] in the high nibble. Used by the fused decode-layer kernel
+    (ops/fused_layer.py) for fc_in, whose grid phase j consumes hidden units
+    {j·TW..} ∪ {out/2 + j·TW..} — with column pairing those are ONE contiguous
+    packed block. Scales are group-wise along the contraction (row) dim so
+    they still apply to the dot result per k-group."""
+    in_dim, out_dim = w.shape
+    assert out_dim % 2 == 0
+    half = out_dim // 2
+    if in_dim % group != 0:
+        group = in_dim
+    n_g = in_dim // group
+
+    def q_half(wh):                          # (in, half) -> int8 vals + scale
+        wg = wh.astype(jnp.float32).reshape(n_g, group, half)
+        amax = jnp.max(jnp.abs(wg), axis=1)
+        scale = jnp.maximum(amax / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+        return q.reshape(in_dim, half).astype(jnp.int8), scale.astype(jnp.float32)
+
+    q_lo, s_lo = q_half(w[:, :half])
+    q_hi, s_hi = q_half(w[:, half:])
+    packed = (jnp.left_shift(q_hi, 4) | (q_lo & 0x0F)).astype(jnp.int8)
+    return packed, s_lo, s_hi
+
+
 def unpack_int4(w_packed: jnp.ndarray, dtype=jnp.float32):
     """(in//2, out) split-half packed int8 -> (lo (in//2,out), hi (in//2,out))
     int values in [-7, 7] (rows [0, in/2) and [in/2, in) respectively)."""
@@ -97,15 +127,44 @@ def quantize_tree(params, min_size: int = 1 << 16, mode: str = "int8",
     return walk(params)
 
 
-def quantize_t3_backbone(t3_params: dict, mode: str = "int8") -> dict:
+def _quantize_gpt2_layer_fused(lp: dict, eps: float) -> dict:
+    """int4-quantize one GPT-2 layer for the fused decode kernels
+    (ops/fused_layer.py): qkv/attn_out/fc_out row-split packed, fc_in
+    COLUMN-split packed, plus the precomputed "fused" operand dict (which
+    shares the packed arrays by reference — no weight duplication)."""
+    from ..ops.fused_layer import prepare_fused_gpt2_layer
+    out = {}
+    for name in ("qkv", "attn_out", "fc_out"):
+        w_q, s_lo, s_hi = quantize_linear_weight_int4(lp[name]["w"])
+        out[name] = {"w_q4": w_q, "w_scale4_lo": s_lo, "w_scale4_hi": s_hi,
+                     "b": lp[name]["b"]}
+    w_q, s_lo, s_hi = quantize_linear_weight_int4_colsplit(lp["fc_in"]["w"])
+    out["fc_in"] = {"w_q4c": w_q, "w_scale4c_lo": s_lo, "w_scale4c_hi": s_hi,
+                    "b": lp["fc_in"]["b"]}
+    out["ln1"], out["ln2"] = lp["ln1"], lp["ln2"]
+    out["fused"] = prepare_fused_gpt2_layer(out, eps)
+    return out
+
+
+def quantize_t3_backbone(t3_params: dict, mode: str = "int8",
+                         ln_eps: float = 1e-5) -> dict:
     """Quantize the backbone layers + output heads of a T3 param tree
     (embeddings incl. wpe, norms and the cond encoder stay in float — they
-    are gathers or tiny). The heads stay int8 even in int4 mode: their
+    are gathers or tiny). The heads stay int8 even in int4 modes: their
     output dim (vocab) isn't tile-aligned for the int4 kernel, and the head
-    read is a small fraction of the step."""
+    read is a small fraction of the step.
+
+    mode="int4_fused" (GPT-2 backbones only) additionally precomputes the
+    fused decode-layer operands (ops/fused_layer.py) — two pallas launches
+    per layer instead of ~20 XLA fusions."""
     out = dict(t3_params)
     backbone = dict(t3_params["backbone"])
-    backbone["layers"] = quantize_tree(t3_params["backbone"]["layers"], mode=mode)
+    if mode == "int4_fused":
+        backbone["layers"] = [
+            _quantize_gpt2_layer_fused(lp, ln_eps)
+            for lp in t3_params["backbone"]["layers"]]
+    else:
+        backbone["layers"] = quantize_tree(t3_params["backbone"]["layers"], mode=mode)
     out["backbone"] = backbone
     out["speech_head"] = quantize_tree(t3_params["speech_head"], mode="int8")
     out["text_head"] = quantize_tree(t3_params["text_head"], mode="int8")

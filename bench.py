@@ -76,8 +76,9 @@ def bench_turbo(results):
     # (~180 s). Plain dispatch generates weights on-device with tiny messages.
     t3_params = cast_params(t3m.t3_init(k1, hp), jnp.bfloat16)
     if use_int8:
-        from chatterbox_tpu.utils.quantize import quantize_t3_backbone
-        t3_params = quantize_t3_backbone(t3_params)
+        from chatterbox_tpu.utils.quantize import (best_serving_mode,
+                                                   quantize_t3_backbone)
+        t3_params = quantize_t3_backbone(t3_params, mode=best_serving_mode(hp.backbone))
     _log("building S3Gen (meanflow) ...")
     engine = S3GenEngine(s3gen_init(k2, meanflow=True), meanflow=True)
 
@@ -212,8 +213,9 @@ def bench_cfg520(results):
 
     t3_params = cast_params(t3m.t3_init(k1, hp), jnp.bfloat16)
     if use_int8:
-        from chatterbox_tpu.utils.quantize import quantize_t3_backbone
-        t3_params = quantize_t3_backbone(t3_params)
+        from chatterbox_tpu.utils.quantize import (best_serving_mode,
+                                                   quantize_t3_backbone)
+        t3_params = quantize_t3_backbone(t3_params, mode=best_serving_mode(hp.backbone))
     _log("building S3Gen (10-step CFG CFM) ...")
     engine = S3GenEngine(s3gen_init(k2, meanflow=False), meanflow=False)
 

@@ -148,11 +148,17 @@ def _write_cache_full(all_cache: jnp.ndarray, new: jnp.ndarray, layer: jnp.ndarr
 # ---------------------------------------------------------------------------
 
 def _attn_core(q, ck, cv, start, kv_mask, fused: bool):
-    """Attention over the cache: fused Pallas decode kernel for single-token
-    steps (ops/pallas_attention.py), XLA mha otherwise."""
+    """Attention over the cache: Pallas decode kernel for single-token steps
+    (ops/pallas_attention.py), XLA mha otherwise. The streamed flash variant
+    (tile-clamped DMA ⇒ O(cur_len) traffic) is used when the cache length is
+    tile-aligned; it wins over XLA mha when T_max far exceeds the current
+    length (long-form generation)."""
     if fused and q.shape[2] == 1:
-        from ...ops.pallas_attention import decode_attention
+        from ...ops.pallas_attention import (
+            TT, decode_attention, decode_attention_streamed)
         cur = jnp.broadcast_to(start, (q.shape[0],)) if start.ndim == 0 else start
+        if ck.shape[2] % TT == 0:
+            return decode_attention_streamed(q, ck, cv, cur)
         return decode_attention(q, ck, cv, cur)
     return nn.mha(q, ck, cv, mask=kv_mask)
 
@@ -275,8 +281,11 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
         # ops/fused_layer.py. Single-token steps only.
         fused_layer = cfg.is_gpt and "fused" in lp and x.shape[1] == 1
         if fused_layer:
-            from ...ops.fused_layer import apply_fused_gpt2_qkv
-            qkv = apply_fused_gpt2_qkv(
+            from ...ops.fused_layer import (apply_fused_gpt2_qkv,
+                                            apply_fused_gpt2_qkv_int8)
+            f_qkv = (apply_fused_gpt2_qkv if "qkv_wp" in lp["fused"]
+                     else apply_fused_gpt2_qkv_int8)
+            qkv = f_qkv(
                 lp["fused"], x[:, 0], cfg.layer_norm_eps
             ).astype(x.dtype)[:, None, :]
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -316,8 +325,11 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
             cv = jnp.repeat(cv, rep, axis=1)
         attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
         if fused_layer:
-            from ...ops.fused_layer import apply_fused_gpt2_mlp
-            x = apply_fused_gpt2_mlp(
+            from ...ops.fused_layer import (apply_fused_gpt2_mlp,
+                                            apply_fused_gpt2_mlp_int8)
+            f_mlp = (apply_fused_gpt2_mlp if "qkv_wp" in lp["fused"]
+                     else apply_fused_gpt2_mlp_int8)
+            x = f_mlp(
                 lp["fused"], nn.merge_heads(attn)[:, 0].astype(x.dtype),
                 x[:, 0], cfg.layer_norm_eps).astype(x.dtype)[:, None, :]
         elif cfg.is_gpt:

@@ -275,6 +275,193 @@ def attnout_ln_mlp_int4(a, xres, wo, so_lo, so_hi, bo8, g28, be28,
 
 
 # ---------------------------------------------------------------------------
+# int8 variants — same fusion structure, XLA-equivalent weight bytes.
+# Measured rationale (v5e): the int8 XLA matvecs already stream at ~700 GB/s,
+# while int4 unpack is VPU-bound (~2 Tops) and loses; what's left on the
+# table is per-XLA-op dispatch (~0.26 us × ~20 ops × 24 layers ≈ 130 us of
+# the 880 us step). These kernels keep int8's 1-op-per-weight convert and
+# only collapse the launch/op count.
+# ---------------------------------------------------------------------------
+
+TK8 = 512         # int8 k-tile (contraction rows per grid step)
+
+
+def _ln_qkv_kernel_i8(x_ref, g_ref, b_ref, w_ref, s_ref, bias_ref,
+                      out_ref, y_scr, *, eps):
+    """Grid (3D//TN, D//TK8), k innermost. w (TK8, TN) int8 streamed tile;
+    s (8, TN) per-out-channel scale; out accumulates raw dots, scale+bias
+    applied on the last k step."""
+    n, k = pl.program_id(0), pl.program_id(1)
+    n_k = pl.num_programs(1)
+
+    @pl.when((n == 0) & (k == 0))
+    def _():
+        y_scr[:] = _layer_norm_f32(x_ref[:].astype(jnp.float32),
+                                   g_ref[0:1, :], b_ref[0:1, :], eps)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = w_ref[:].astype(jnp.bfloat16)
+    xk = y_scr[:, pl.ds(k * TK8, TK8)].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        xk, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = (out_ref[:] * s_ref[0:1, :].astype(jnp.float32)
+                      + bias_ref[0:1, :].astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def ln_qkv_int8(x, g8, b8, w, s8, bias8, *, eps: float,
+                interpret: bool | None = None):
+    """x (B, D) -> LN(x) @ W + bias, (B, N) f32. w (D, N) int8 with
+    per-out-channel scale s8 (8, N) (row 0 live)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, D = x.shape
+    _, N = w.shape
+    assert D % TK8 == 0 and N % TN == 0
+    grid = (N // TN, D // TK8)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_kernel_i8, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda n, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, D), lambda n, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, D), lambda n, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK8, TN), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(x, g8, b8, w, s8, bias8)
+
+
+def _attnout_ln_mlp_kernel_i8(a_ref, xres_ref, wo_ref, so_ref, bo_ref,
+                              g2_ref, be2_ref, w1_ref, s1_ref, b1_ref,
+                              w2_ref, s2_ref, b2_ref, out_ref, y2_scr,
+                              *, eps):
+    """Grid (1 + I//TW8,). Phase 0: r = xres + a@Wo*so + bo; y2 = LN2(r);
+    out = r + b2. Phases j>0: out += gelu(y2 @ W1[:, jj] * s1 + b1) @
+    (W2[jj] * s2-postdot). W1 tile (D, TW8); W2 tile (TW8, D)."""
+    j = pl.program_id(0)
+    B, D = a_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        wo = wo_ref[:].astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            a_ref[:].astype(jnp.bfloat16), wo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = (xres_ref[:].astype(jnp.float32)
+             + acc * so_ref[0:1, :].astype(jnp.float32)
+             + bo_ref[0:1, :].astype(jnp.float32))
+        y2_scr[:] = _layer_norm_f32(r, g2_ref[0:1, :], be2_ref[0:1, :], eps)
+        out_ref[:] = r + b2_ref[0:1, :].astype(jnp.float32)
+
+    @pl.when(j > 0)
+    def _():
+        jj = j - 1
+        TW8 = w1_ref.shape[1]
+        u = jax.lax.dot_general(
+            y2_scr[:].astype(jnp.bfloat16), w1_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        u = (u * s1_ref[0:1, pl.ds(jj * TW8, TW8)].astype(jnp.float32)
+             + b1_ref[0:1, pl.ds(jj * TW8, TW8)].astype(jnp.float32))
+        h = _gelu_new_f32(u).astype(jnp.bfloat16)
+        pd = jax.lax.dot_general(
+            h, w2_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # W2's per-out-channel scale is k-independent: apply per partial dot
+        out_ref[:] += pd * s2_ref[0:1, :].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tw", "interpret"))
+def attnout_ln_mlp_int8(a, xres, wo, so8, bo8, g28, be28, w1, s18, b18,
+                        w2, s28, b28, *, eps: float, tw: int = 1024,
+                        interpret: bool | None = None):
+    """Fused second half of a GPT-2 decode layer, int8 weights.
+
+    wo (D, D), w1 (D, I), w2 (I, D) int8; s*8 (8, N) per-out-channel scales
+    broadcast to 8 rows; b*8 (8, N) biases. Returns new x (B, D) f32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, D = a.shape
+    I = w1.shape[1]
+    assert I % tw == 0
+    grid = (1 + I // tw,)
+    c = lambda j: (0, 0)
+    s1m = lambda j: (0, jnp.maximum(j - 1, 0))
+    s2m = lambda j: (jnp.maximum(j - 1, 0), 0)
+    return pl.pallas_call(
+        functools.partial(_attnout_ln_mlp_kernel_i8, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), c, memory_space=pltpu.VMEM),       # a
+            pl.BlockSpec((B, D), c, memory_space=pltpu.VMEM),       # xres
+            pl.BlockSpec((D, D), c, memory_space=pltpu.VMEM),       # wo
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),       # so
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),       # bo
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),       # g2
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),       # be2
+            pl.BlockSpec((D, tw), s1m, memory_space=pltpu.VMEM),    # w1
+            pl.BlockSpec((8, I), c, memory_space=pltpu.VMEM),       # s1
+            pl.BlockSpec((8, I), c, memory_space=pltpu.VMEM),       # b1
+            pl.BlockSpec((tw, D), s2m, memory_space=pltpu.VMEM),    # w2
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),       # s2
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),       # b2
+        ],
+        out_specs=pl.BlockSpec((B, D), c, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(a, xres, wo, so8, bo8, g28, be28, w1, s18, b18, w2, s28, b28)
+
+
+def prepare_fused_gpt2_layer_int8(lp: dict) -> dict:
+    """Fused-kernel operands from an int8-quantized GPT-2 layer dict
+    ({"qkv","attn_out","fc_in","fc_out"} carrying {"w_q","w_scale","b"})."""
+    for name in ("qkv", "attn_out", "fc_in", "fc_out"):
+        assert "w_q" in lp[name], "quantize int8 first"
+    return {
+        "g1_8": _bcast8(lp["ln1"]["g"]), "b1_8": _bcast8(lp["ln1"]["b"]),
+        "qkv_w": lp["qkv"]["w_q"], "qkv_s8": _bcast8(lp["qkv"]["w_scale"]),
+        "qkv_b8": _bcast8(lp["qkv"]["b"]),
+        "wo_w": lp["attn_out"]["w_q"],
+        "wo_s8": _bcast8(lp["attn_out"]["w_scale"]),
+        "wo_b8": _bcast8(lp["attn_out"]["b"]),
+        "g2_8": _bcast8(lp["ln2"]["g"]), "b2_8": _bcast8(lp["ln2"]["b"]),
+        "w1": lp["fc_in"]["w_q"], "s1_8": _bcast8(lp["fc_in"]["w_scale"]),
+        "fc1_b8": _bcast8(lp["fc_in"]["b"]),
+        "w2": lp["fc_out"]["w_q"], "s2_8": _bcast8(lp["fc_out"]["w_scale"]),
+        "fc2_b8": _bcast8(lp["fc_out"]["b"]),
+    }
+
+
+def apply_fused_gpt2_qkv_int8(fl: dict, x2d, eps: float):
+    return ln_qkv_int8(x2d, fl["g1_8"], fl["b1_8"], fl["qkv_w"],
+                       fl["qkv_s8"], fl["qkv_b8"], eps=eps)
+
+
+def apply_fused_gpt2_mlp_int8(fl: dict, attn2d, xres2d, eps: float):
+    return attnout_ln_mlp_int8(
+        attn2d, xres2d, fl["wo_w"], fl["wo_s8"], fl["wo_b8"],
+        fl["g2_8"], fl["b2_8"], fl["w1"], fl["s1_8"], fl["fc1_b8"],
+        fl["w2"], fl["s2_8"], fl["fc2_b8"], eps=eps)
+
+
+# ---------------------------------------------------------------------------
 # operand preparation
 # ---------------------------------------------------------------------------
 

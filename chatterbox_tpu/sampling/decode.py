@@ -48,7 +48,7 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                 *, max_new_tokens: int = 1000, top_k: int = 0,
                 cfg_mode: bool = True, cfg_batch2: bool = True,
                 ignore_eos: bool = False,
-                fused_attn: bool = False) -> GenResult:
+                fused_attn: bool | None = None) -> GenResult:
     """Generate speech tokens for one utterance.
 
     Args:
@@ -67,6 +67,14 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     B = 2 if (cfg_mode and cfg_batch2) else 1
     P_pad = Lc + Ltp + 1
     t_max = P_pad + max_new_tokens
+    if fused_attn is None:
+        # measured on v5e: XLA mha wins at every generation length (the
+        # streamed kernel's per-tile compute eats its O(cur_len) DMA saving
+        # — 857 vs 830 tok/s even at max_new=1000); keep it opt-in.
+        fused_attn = False
+    if fused_attn:
+        from ..ops.pallas_attention import TT
+        t_max = ((t_max + TT - 1) // TT) * TT     # tile-align the cache
     V = hp.speech_tokens_dict_size
 
     # ---- build the packed prefix -----------------------------------------

@@ -146,6 +146,20 @@ def _quantize_gpt2_layer_fused(lp: dict, eps: float) -> dict:
     return out
 
 
+def best_serving_mode(cfg) -> str:
+    """Pick the fastest measured quantization mode for a backbone config.
+
+    v5e measurements (DESIGN.md): plain int8 XLA matvecs stream at ~700 GB/s;
+    the fused int8 decode-layer kernels (ops/fused_layer.py) add +18 % by
+    collapsing per-op dispatch (1331 vs 1130 tok/s, GPT2-medium); int4 is
+    VPU-unpack-bound and loses. The fused kernels need tile-aligned dims."""
+    if (cfg.is_gpt and cfg.hidden_size % 512 == 0
+            and (3 * cfg.hidden_size) % 512 == 0
+            and cfg.intermediate_size % 1024 == 0):
+        return "int8_fused"
+    return "int8"
+
+
 def quantize_t3_backbone(t3_params: dict, mode: str = "int8",
                          ln_eps: float = 1e-5) -> dict:
     """Quantize the backbone layers + output heads of a T3 param tree
@@ -163,6 +177,12 @@ def quantize_t3_backbone(t3_params: dict, mode: str = "int8",
         backbone["layers"] = [
             _quantize_gpt2_layer_fused(lp, ln_eps)
             for lp in t3_params["backbone"]["layers"]]
+    elif mode == "int8_fused":
+        from ..ops.fused_layer import prepare_fused_gpt2_layer_int8
+        layers = quantize_tree(t3_params["backbone"]["layers"], mode="int8")
+        for lp in layers:
+            lp["fused"] = prepare_fused_gpt2_layer_int8(lp)
+        backbone["layers"] = layers
     else:
         backbone["layers"] = quantize_tree(t3_params["backbone"]["layers"], mode=mode)
     out["backbone"] = backbone

@@ -222,3 +222,61 @@ class TestBackboneIntegration:
         assert np.isfinite(np.asarray(r_f.tokens)).all()
         np.testing.assert_array_equal(np.asarray(r_f.tokens),
                                       np.asarray(r_u.tokens))
+
+
+class TestInt8Fused:
+    def test_ln_qkv_int8_matches_xla(self):
+        from chatterbox_tpu.ops.fused_layer import ln_qkv_int8, _layer_norm_f32
+        from chatterbox_tpu.utils.quantize import quantize_linear_weight
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, D)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((D, 3 * D)).astype(np.float32)) * 0.02
+        b = jnp.asarray(rng.standard_normal((3 * D,)).astype(np.float32)) * 0.01
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32))
+        be = jnp.asarray(0.1 * rng.standard_normal(D).astype(np.float32))
+        w_q, s = quantize_linear_weight(w)
+        bc = lambda v: jnp.broadcast_to(v[None], (8, v.shape[0]))
+        out = ln_qkv_int8(x, bc(g), bc(be), w_q, bc(s), bc(b), eps=EPS)
+        y = _layer_norm_f32(x.astype(jnp.float32), g[None], be[None], EPS)
+        ref = jax.lax.dot_general(
+            y.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * s[None] + b[None]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_fused_int8_generate_matches_unfused_greedy(self):
+        from chatterbox_tpu.models.t3.config import T3Config
+        from chatterbox_tpu.models.t3 import model as t3m
+        from chatterbox_tpu.sampling.decode import t3_generate
+        from chatterbox_tpu.ops.sampling import SamplerParams
+        from chatterbox_tpu.utils.quantize import quantize_t3_backbone
+        hp = T3Config(
+            text_tokens_dict_size=64, backbone_name="GPT2_fused_test",
+            speech_tokens_dict_size=80, input_pos_emb=None,
+            speech_cond_prompt_len=8, use_perceiver_resampler=False,
+            emotion_adv=False, max_text_tokens=64, max_speech_tokens=128)
+        params = t3m.t3_init(jax.random.key(0), hp)
+        qp = quantize_t3_backbone(params, mode="int8_fused")
+        up = dict(qp)
+        up["backbone"] = dict(qp["backbone"])
+        up["backbone"]["layers"] = [
+            {k: v for k, v in lp.items() if k != "fused"}
+            for lp in qp["backbone"]["layers"]]
+        cond = t3m.T3CondArrays(
+            speaker_emb=jnp.zeros((1, 256)),
+            cond_prompt_speech_tokens=jnp.zeros(
+                (1, hp.speech_cond_prompt_len), jnp.int32),
+            emotion_adv=None)
+        text = jnp.zeros((1, 8), jnp.int32)
+        sp = SamplerParams.make(temperature=1e-4, top_p=1.0,
+                                repetition_penalty=1.0, cfg_weight=0.0)
+        kw = dict(max_new_tokens=6, top_k=0, cfg_mode=False, ignore_eos=True)
+        r_f = t3_generate(qp, hp, cond, text, jnp.asarray(6), sp,
+                          jax.random.key(7), **kw)
+        r_u = t3_generate(up, hp, cond, text, jnp.asarray(6), sp,
+                          jax.random.key(7), **kw)
+        assert np.isfinite(np.asarray(r_f.tokens)).all()
+        np.testing.assert_array_equal(np.asarray(r_f.tokens),
+                                      np.asarray(r_u.tokens))

@@ -108,6 +108,53 @@ class S3GenEngine:
                                   cache_len=cache_len,
                                   phase_carry=phase_carry)
 
+        @functools.partial(jax.jit,
+                           static_argnames=("n_timesteps", "mel_bucket", "pcm16"))
+        def _fused(params, token, token_len, prompt_len, prompt_feat, embedding,
+                   key, n_timesteps, mel_bucket, pcm16):
+            """flow → gen-region slice → HiFT → trim-fade in ONE program.
+
+            The axon relay costs ~29 ms per sync and ~30 MB/s per fetch, so
+            the staged host path (fetch full mel bucket, repack, re-upload,
+            fetch full wav bucket) spends more time on transfers than the
+            vocoder spends computing (HiFT is ~21 ms for 10 s of audio).
+            This program keeps every intermediate on device and the host
+            fetches one device-sliced waveform, optionally as int16 PCM
+            (halves fetch bytes; same precision as the WAV file a user
+            writes). Ref behavior: s3gen.py:329-362 (tokens→wav) +
+            s3gen.py:254-258 (trim fade)."""
+            B = token.shape[0]
+            k_noise, k_flow, k_hift = jax.random.split(key, 3)
+            noise = None
+            if meanflow:
+                noise = jax.random.normal(
+                    k_noise, (B, token.shape[1] * TOKEN_MEL_RATIO, 80))
+            mels = flow_inference(
+                params["flow"], token=token, token_len=token_len,
+                prompt_len=prompt_len, prompt_feat=prompt_feat,
+                embedding=embedding, key=k_flow, n_timesteps=n_timesteps,
+                meanflow=meanflow, noise=noise, dims=dims)
+            # per-row gen-region extraction (ref: flow.py:196-197): pad so the
+            # dynamic_slice is always in-bounds, then mask the tail to the
+            # mel floor so prompt-region garbage can't bleed into the vocoder.
+            gen_len = (token_len - prompt_len) * TOKEN_MEL_RATIO      # (B,)
+            padded = jnp.pad(mels, ((0, 0), (0, mel_bucket), (0, 0)),
+                             constant_values=MEL_FLOOR)
+            gen = jax.vmap(lambda m, p: jax.lax.dynamic_slice(
+                m, (p * TOKEN_MEL_RATIO, 0), (mel_bucket, 80)))(
+                    padded, prompt_len)
+            frame = jnp.arange(mel_bucket)[None]
+            gen = jnp.where((frame < gen_len[:, None])[..., None], gen, MEL_FLOOR)
+            wav, _, _ = hift_inference(params["mel2wav"], k_hift, gen)
+            fade = jnp.asarray(trim_fade())
+            wav = wav.at[:, : fade.shape[0]].multiply(fade)
+            samp = jnp.arange(wav.shape[1])[None]
+            wav = jnp.where(samp < gen_len[:, None] * TOTAL_UPSAMPLE, wav, 0.0)
+            if pcm16:
+                wav = jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0
+                                ).astype(jnp.int16)
+            return wav
+
         @functools.partial(jax.jit, static_argnames=("max_len",))
         def _tokenize(params, wav, wav_len, max_len):
             return s3tokenizer_tokenize(params["tokenizer"], tok_cfg, wav,
@@ -122,6 +169,8 @@ class S3GenEngine:
             return jnp.swapaxes(mel_spectrogram_24k(wav24), 1, 2)
 
         self._flow = _flow
+        self._fused = _fused
+        self.pcm16_fetch = True   # fetch waveforms as int16 PCM (half bytes)
         self._hift = _hift
         self._hift_stream = _hift_stream
         self._tokenize = _tokenize
@@ -259,12 +308,25 @@ class S3GenEngine:
     # ------------------------------------------------------------------
     def inference(self, speech_tokens: np.ndarray, ref: RefDict, key,
                   n_timesteps: Optional[int] = None) -> np.ndarray:
-        k1, k2 = jax.random.split(key)
-        gen_mels, _ = self.flow_to_mel(speech_tokens, ref, k1, n_timesteps)
-        wav = self.mel_to_wav(gen_mels, k2)
-        n = min(wav.shape[1], len(self._trim_fade))
-        wav[:, :n] *= self._trim_fade[:n]
-        return wav
+        """Single fused program (flow→slice→HiFT→fade), one device sync."""
+        speech_tokens = np.asarray(speech_tokens).reshape(1, -1)
+        P = int(ref.prompt_token_len[0])
+        G = speech_tokens.shape[1]
+        bucket = _bucket(P + G, TOKEN_BUCKETS)
+        token = np.zeros((1, bucket), np.int32)
+        token[0, :P] = ref.prompt_token[0, :P]
+        token[0, P: P + G] = speech_tokens[0]
+        mel_bucket = _bucket(G * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+        wav = self._fused(
+            self.params, jnp.asarray(token), jnp.asarray([P + G]),
+            jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
+            jnp.asarray(ref.embedding), key,
+            n_timesteps=n_timesteps or self.n_timesteps,
+            mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
+        out = np.asarray(wav[:, : G * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE])
+        if self.pcm16_fetch:
+            out = out.astype(np.float32) / 32767.0
+        return out
 
     # ------------------------------------------------------------------
     # batched inference (serving: one flow + one vocoder call for B requests)
@@ -292,32 +354,19 @@ class S3GenEngine:
             feats[i, : r.prompt_feat.shape[1]] = r.prompt_feat[0]
         embs = np.concatenate([r.embedding for r in refs], axis=0)
 
-        key, k_noise, k_hift = jax.random.split(key, 3)
-        noise = None
-        if self.meanflow:
-            noise = jax.random.normal(k_noise, (B, bucket * TOKEN_MEL_RATIO, 80))
-        mels = np.asarray(self._flow(
+        mel_bucket = _bucket(max(g * TOKEN_MEL_RATIO for g in Gs),
+                             GEN_MEL_BUCKETS)
+        wavs = self._fused(
             self.params, jnp.asarray(tokens),
             jnp.asarray([p + g for p, g in zip(Ps, Gs)]),
-            jnp.asarray(Ps), jnp.asarray(feats), jnp.asarray(embs), key, noise,
-            n_timesteps=n_timesteps or self.n_timesteps))
-
-        # per-row prompt slice, pack into one vocoder batch
-        gen_lens = [g * TOKEN_MEL_RATIO for g in Gs]
-        mel_bucket = _bucket(max(gen_lens), GEN_MEL_BUCKETS)
-        gen = np.full((B, mel_bucket, 80), MEL_FLOOR, np.float32)
-        for i in range(B):
-            s = Ps[i] * TOKEN_MEL_RATIO
-            gen[i, : gen_lens[i]] = mels[i, s: s + gen_lens[i]]
-        wavs, _ = self._hift(self.params, jnp.asarray(gen), k_hift)
-        wavs = np.array(wavs)
-        out = []
-        for i in range(B):
-            w = wavs[i, : gen_lens[i] * TOTAL_UPSAMPLE]
-            n = min(len(w), len(self._trim_fade))
-            w[:n] *= self._trim_fade[:n]
-            out.append(w)
-        return out
+            jnp.asarray(Ps), jnp.asarray(feats), jnp.asarray(embs), key,
+            n_timesteps=n_timesteps or self.n_timesteps,
+            mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
+        wavs = np.asarray(wavs)
+        if self.pcm16_fetch:
+            wavs = wavs.astype(np.float32) / 32767.0
+        return [wavs[i, : Gs[i] * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE]
+                for i in range(B)]
 
     # ------------------------------------------------------------------
     # wav → tokens (for VC; ref: vc.py:94-97)

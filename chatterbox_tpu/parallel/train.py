@@ -25,8 +25,23 @@ class TrainState(NamedTuple):
     opt_state: optax.OptState
 
 
-def make_optimizer(lr: float = 1e-4):
-    return optax.adamw(lr, weight_decay=0.01)
+def make_optimizer(lr: float = 1e-4, *, warmup_steps: int = 0,
+                   total_steps: int = 0, weight_decay: float = 0.01,
+                   clip_norm: float = 0.0):
+    """AdamW, optionally with linear-warmup + cosine-decay schedule and
+    global-norm gradient clipping (the production-training shape; the
+    reference ships only the loss — ref: t3.py:189-223)."""
+    if warmup_steps or total_steps:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(total_steps, warmup_steps + 1))
+    else:
+        schedule = lr
+    tx = optax.adamw(schedule, weight_decay=weight_decay)
+    if clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
 
 
 def t3_train_step(state: TrainState, hp: T3Config, optimizer,
@@ -47,9 +62,9 @@ def t3_train_step(state: TrainState, hp: T3Config, optimizer,
     return TrainState(params, opt_state), {"loss_text": lt, "loss_speech": ls}
 
 
-def build_sharded_train_step(hp: T3Config, mesh, lr: float = 1e-4):
+def build_sharded_train_step(hp: T3Config, mesh, lr: float = 1e-4, **opt_kw):
     """Returns (jitted step, initial sharded TrainState factory)."""
-    optimizer = make_optimizer(lr)
+    optimizer = make_optimizer(lr, **opt_kw)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, cond, text_tokens, text_lens, speech_tokens, speech_lens):

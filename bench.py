@@ -29,6 +29,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: works through the axon relay too (verified —
+# repeat runs of the same program skip XLA compilation).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "540"))
 _T_START = time.perf_counter()
 

@@ -155,6 +155,44 @@ class S3GenEngine:
                                 ).astype(jnp.int16)
             return wav
 
+        @functools.partial(jax.jit,
+                           static_argnames=("n_timesteps", "mel_bucket"),
+                           donate_argnums=(8,))
+        def _fused_stream(params, token, token_len, prompt_len, prompt_feat,
+                          embedding, k_flow, noise, cache_source, cache_len,
+                          phase_carry, k_hift, vocode_len,
+                          n_timesteps, mel_bucket):
+            """Streaming feed as ONE program: flow (aligned fixed noise) →
+            gen-region slice → lookahead trim (mask to `vocode_len` frames) →
+            HiFT with source-cache continuity. The source cache lives in a
+            fixed-capacity device buffer (donated, updated in place) so
+            feeds exchange no cache bytes with the host — only the waveform
+            tail is fetched. Ref hooks: flow.py:170-171 (lookahead),
+            hifigan.py:462-474 (cache_source)."""
+            k_flow2, _ = jax.random.split(k_flow)   # match flow_to_mel's split
+            mels = flow_inference(
+                params["flow"], token=token, token_len=token_len,
+                prompt_len=prompt_len, prompt_feat=prompt_feat,
+                embedding=embedding, key=k_flow2, n_timesteps=n_timesteps,
+                meanflow=meanflow, noise=noise, noise_aligned=True, dims=dims)
+            padded = jnp.pad(mels, ((0, 0), (0, mel_bucket), (0, 0)),
+                             constant_values=MEL_FLOOR)
+            gen = jax.vmap(lambda m, p: jax.lax.dynamic_slice(
+                m, (p * TOKEN_MEL_RATIO, 0), (mel_bucket, 80)))(
+                    padded, prompt_len)
+            frame = jnp.arange(mel_bucket)[None]
+            gen = jnp.where((frame < vocode_len[:, None])[..., None],
+                            gen, MEL_FLOOR)
+            n_samp = mel_bucket * TOTAL_UPSAMPLE
+            wav, src, f0 = hift_inference(
+                params["mel2wav"], k_hift, gen,
+                cache_source=jax.lax.dynamic_slice(
+                    cache_source, (0, 0, 0), (1, n_samp, 1)),
+                cache_len=cache_len, phase_carry=phase_carry)
+            new_cache = jax.lax.dynamic_update_slice(cache_source, src,
+                                                     (0, 0, 0))
+            return wav, new_cache, f0
+
         @functools.partial(jax.jit, static_argnames=("max_len",))
         def _tokenize(params, wav, wav_len, max_len):
             return s3tokenizer_tokenize(params["tokenizer"], tok_cfg, wav,
@@ -170,6 +208,7 @@ class S3GenEngine:
 
         self._flow = _flow
         self._fused = _fused
+        self._fused_stream = _fused_stream
         self.pcm16_fetch = True   # fetch waveforms as int16 PCM (half bytes)
         self._hift = _hift
         self._hift_stream = _hift_stream
@@ -302,6 +341,45 @@ class S3GenEngine:
             jnp.asarray(phase_carry, jnp.float32))
         return (np.array(wav)[:, : T * TOTAL_UPSAMPLE], np.asarray(s),
                 np.asarray(f0)[:, :T])
+
+    STREAM_CACHE_FRAMES = GEN_MEL_BUCKETS[-1]   # source-cache capacity
+
+    def new_stream_cache(self):
+        """Fixed-capacity device source-cache buffer for fused streaming."""
+        return jnp.zeros((1, self.STREAM_CACHE_FRAMES * TOTAL_UPSAMPLE, 1),
+                         jnp.float32)
+
+    def fused_stream_step(self, tokens_all: np.ndarray, ref: RefDict,
+                          k_flow, noise_dev, k_hift, cache_source_dev,
+                          cache_len: int, phase_carry: np.ndarray,
+                          vocode_frames: int):
+        """One streaming feed, fully on device (see _fused_stream).
+
+        tokens_all: (1, n) ALL tokens of the current window (gen region);
+        noise_dev: device noise buffer aligned to [prompt|gen] mel layout;
+        cache_source_dev: device buffer from new_stream_cache() (donated —
+        pass the returned one next feed); vocode_frames: mel frames to
+        vocode after the lookahead trim.
+        Returns (wav (1, mel_bucket*480) np, new_cache (device), f0 (1, mel_bucket) np).
+        """
+        tokens_all = np.asarray(tokens_all).reshape(1, -1)
+        P = int(ref.prompt_token_len[0])
+        G = tokens_all.shape[1]
+        bucket = _bucket(P + G, TOKEN_BUCKETS)
+        token = np.zeros((1, bucket), np.int32)
+        token[0, :P] = ref.prompt_token[0, :P]
+        token[0, P: P + G] = tokens_all[0]
+        mel_bucket = _bucket(G * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+        noise = noise_dev[:, : bucket * TOKEN_MEL_RATIO]
+        wav, new_cache, f0 = self._fused_stream(
+            self.params, jnp.asarray(token), jnp.asarray([P + G]),
+            jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
+            jnp.asarray(ref.embedding), k_flow, noise, cache_source_dev,
+            jnp.asarray(cache_len, jnp.int32),
+            jnp.asarray(phase_carry, jnp.float32), k_hift,
+            jnp.asarray([vocode_frames], jnp.int32),
+            n_timesteps=self.n_timesteps, mel_bucket=mel_bucket)
+        return wav, new_cache, f0
 
     # ------------------------------------------------------------------
     # full inference (ref: s3gen.py:329-362)

@@ -17,6 +17,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..models.s3gen.model import S3GenEngine, RefDict, trim_fade
 from ..models.s3gen.flow import TOKEN_MEL_RATIO, PRE_LOOKAHEAD_LEN
@@ -80,13 +81,13 @@ class StreamingVocoder:
         k_flow, k_noise, k_hift = jax.random.split(key, 3)
         self._k_flow = k_flow          # fixed: CFM solve is deterministic given z
         self._k_hift = k_hift          # fixed: source phases/noise per utterance
-        self._noise = np.asarray(jax.random.normal(
-            k_noise, (1, self.MAX_MEL_FRAMES, 80)), np.float32)
+        # fixed per-utterance noise lives on DEVICE; feeds slice it there
+        self._noise = jax.random.normal(k_noise, (1, self.MAX_MEL_FRAMES, 80))
         self._tokens = np.zeros((1, 0), np.int32)
         self._fade = trim_fade()
-        # exact-mode state
+        # exact-mode state (fused path: source cache stays on device)
         self._emitted_samples = 0
-        self._src_cache: Optional[np.ndarray] = None
+        self._cache_dev = None
         self._src_cache_len = 0
         # windowed-mode state
         self._emitted_tokens = 0
@@ -105,22 +106,25 @@ class StreamingVocoder:
 
     # ------------------------------------------------------------------
     def _feed_exact(self, final: bool) -> np.ndarray:
-        gen_mels, gen_len = self.engine.flow_to_mel(
-            self._tokens, self.ref, self._k_flow,
-            noise=self._noise)                       # fixed aligned noise
-        if not final:
-            # drop unreliable lookahead tail (ref: flow.py:170-171)
-            gen_len = gen_len - self.lookahead * TOKEN_MEL_RATIO
-            gen_mels = gen_mels[:, :gen_len]
-        wav, src, _ = self.engine.mel_to_wav_stream(
-            gen_mels, self._k_hift,
-            cache_source=self._src_cache, cache_len=self._src_cache_len)
-        self._src_cache = src
-        self._src_cache_len = gen_len * 480
-        wav = wav[0]
-        wav[: len(self._fade)] *= self._fade
-        new = wav[self._emitted_samples:]
-        self._emitted_samples = len(wav)
+        """One fused device program per feed (flow→trim→HiFT, source cache
+        resident on device); only the new waveform tail is fetched."""
+        if self._cache_dev is None:
+            self._cache_dev = self.engine.new_stream_cache()
+        n_tok = self._tokens.shape[1]
+        vocode_tokens = n_tok if final else n_tok - self.lookahead
+        gen_frames = vocode_tokens * TOKEN_MEL_RATIO  # lookahead trim
+        wav, self._cache_dev, _ = self.engine.fused_stream_step(
+            self._tokens, self.ref, self._k_flow, self._noise, self._k_hift,
+            self._cache_dev, self._src_cache_len,
+            np.zeros((1, 9), np.float32), gen_frames)
+        self._src_cache_len = gen_frames * 480
+        s0 = self._emitted_samples
+        new = np.asarray(wav[0, s0: gen_frames * 480])  # device-sliced fetch
+        if s0 < len(self._fade):
+            f = self._fade[s0: s0 + len(new)]
+            new = new.copy()
+            new[: len(f)] *= f
+        self._emitted_samples = gen_frames * 480
         return new
 
     # ------------------------------------------------------------------
@@ -136,7 +140,7 @@ class StreamingVocoder:
         # aligned noise for [prompt | window]: prompt noise + gen noise at the
         # window's absolute offset, from the one fixed buffer
         off = 2 * (P + t0)
-        noise = np.concatenate(
+        noise = jnp.concatenate(
             [self._noise[:, : 2 * P],
              self._noise[:, off:]], axis=1)
         gen_mels, _ = self.engine.flow_to_mel(

@@ -1,0 +1,113 @@
+"""Fused S3Gen inference program vs a manually staged composition.
+
+The fused program (models/s3gen/model.py `_fused`) packs flow →
+gen-region slice → HiFT → trim-fade into one jitted graph. These tests pin
+its semantics against an explicit host-staged recomputation with the same
+key schedule, so slicing/masking/fade regressions can't hide inside the
+fusion. (Ref behavior being matched: s3gen.py:329-362 + 254-258.)
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatterbox_tpu.models.s3gen.model import (
+    S3GenEngine, s3gen_init, RefDict, MEL_FLOOR, trim_fade, _bucket,
+    TOKEN_BUCKETS, GEN_MEL_BUCKETS)
+from chatterbox_tpu.models.s3gen.flow import (
+    FlowDims, flow_inference, TOKEN_MEL_RATIO)
+from chatterbox_tpu.models.s3gen.hift import hift_inference, TOTAL_UPSAMPLE
+from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+
+
+@pytest.fixture(scope="module")
+def engine():
+    dims = FlowDims.tiny_test()
+    params = s3gen_init(jax.random.key(0), meanflow=True,
+                        tok_cfg=S3TokenizerConfig.tiny_test(),
+                        dims=dims, hift_base=32)
+    return S3GenEngine(params, meanflow=True,
+                       tok_cfg=S3TokenizerConfig.tiny_test(), dims=dims)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    rng = np.random.default_rng(1)
+    P = 11
+    return RefDict(
+        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
+        prompt_token_len=np.asarray([P], np.int32),
+        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
+        embedding=rng.standard_normal((1, 192)).astype(np.float32),
+    )
+
+
+def staged_reference(engine, speech_tokens, ref, key, n_timesteps):
+    """Replicates the fused program's math with explicit host staging."""
+    speech_tokens = np.asarray(speech_tokens).reshape(1, -1)
+    P = int(ref.prompt_token_len[0])
+    G = speech_tokens.shape[1]
+    bucket = _bucket(P + G, TOKEN_BUCKETS)
+    token = np.zeros((1, bucket), np.int32)
+    token[0, :P] = ref.prompt_token[0, :P]
+    token[0, P: P + G] = speech_tokens[0]
+    mel_bucket = _bucket(G * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+
+    k_noise, k_flow, k_hift = jax.random.split(key, 3)
+    noise = jax.random.normal(k_noise, (1, bucket * TOKEN_MEL_RATIO, 80))
+    mels = np.asarray(flow_inference(
+        engine.params["flow"], token=jnp.asarray(token),
+        token_len=jnp.asarray([P + G]), prompt_len=jnp.asarray([P]),
+        prompt_feat=jnp.asarray(ref.prompt_feat),
+        embedding=jnp.asarray(ref.embedding), key=k_flow,
+        n_timesteps=n_timesteps, meanflow=True, noise=noise,
+        dims=engine.dims))
+    gen = np.full((1, mel_bucket, 80), MEL_FLOOR, np.float32)
+    gen[0, : G * TOKEN_MEL_RATIO] = mels[0, P * TOKEN_MEL_RATIO:
+                                         (P + G) * TOKEN_MEL_RATIO]
+    wav, _, _ = hift_inference(engine.params["mel2wav"], k_hift,
+                               jnp.asarray(gen))
+    wav = np.array(wav)[:, : G * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE]
+    fade = trim_fade()
+    n = min(wav.shape[1], len(fade))
+    wav[:, :n] *= fade[:n]
+    return wav
+
+
+class TestFusedInference:
+    def test_matches_staged_composition(self, engine, ref):
+        rng = np.random.default_rng(2)
+        toks = rng.integers(0, 6561, (1, 30)).astype(np.int32)
+        engine.pcm16_fetch = False
+        try:
+            fused = engine.inference(toks, ref, jax.random.key(9))
+        finally:
+            engine.pcm16_fetch = True
+        staged = staged_reference(engine, toks, ref, jax.random.key(9),
+                                  engine.n_timesteps)
+        assert fused.shape == staged.shape
+        np.testing.assert_allclose(fused, staged, atol=2e-4, rtol=0)
+
+    def test_pcm16_quantization_bound(self, engine, ref):
+        rng = np.random.default_rng(3)
+        toks = rng.integers(0, 6561, (1, 24)).astype(np.int32)
+        engine.pcm16_fetch = False
+        try:
+            f32 = engine.inference(toks, ref, jax.random.key(4))
+        finally:
+            engine.pcm16_fetch = True
+        pcm = engine.inference(toks, ref, jax.random.key(4))
+        assert np.abs(pcm - f32).max() <= 0.5 / 32767 + 1e-7
+
+    def test_batch_rows_are_isolated(self, engine, ref):
+        """Padding rows to a common bucket must not bleed across rows."""
+        rng = np.random.default_rng(5)
+        t1 = rng.integers(0, 6561, (12,)).astype(np.int32)
+        t2 = rng.integers(0, 6561, (30,)).astype(np.int32)
+        wavs = engine.inference_batch([t1, t2], [ref, ref], jax.random.key(6))
+        assert len(wavs) == 2
+        assert wavs[0].shape == (12 * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE,)
+        assert wavs[1].shape == (30 * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE,)
+        for w in wavs:
+            assert np.isfinite(w).all()
+            assert np.abs(w[:480]).max() == 0.0    # per-row trim fade

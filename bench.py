@@ -142,6 +142,8 @@ def bench_ttfa(results, ctx):
     cond, ref, sp, text = ctx["cond"], ctx["ref"], ctx["sp"], ctx["text"]
     CHUNK = 25
 
+    from chatterbox_tpu.serve.streaming import StreamingVocoder
+
     def first_audio(seed):
         t0 = time.perf_counter()
         state = t3_prefill(t3_params, hp, cond, text, jnp.asarray(30),
@@ -150,10 +152,12 @@ def bench_ttfa(results, ctx):
         state, toks, n = t3_decode_chunk(t3_params, hp, state, sp,
                                          n_steps=CHUNK, top_k=1000,
                                          cfg_mode=False, ignore_eos=True)
-        toks = np.asarray(toks)[: int(n)] % 6561
-        mels, gen_len = engine.flow_to_mel(toks[None], ref, jax.random.key(seed + 1))
-        wav = engine.mel_to_wav(mels[:, :gen_len], jax.random.key(seed + 2))
-        assert np.isfinite(wav).all()
+        toks_h, n_h = jax.device_get((toks, n))
+        toks = toks_h[: int(n_h)] % 6561
+        # the product streaming path: ONE fused device program per feed
+        sv = StreamingVocoder(engine, ref, jax.random.key(seed + 1))
+        chunk = sv.feed(toks[None], final=False)
+        assert chunk.size > 0 and np.isfinite(chunk).all()
         return (time.perf_counter() - t0) * 1e3
 
     _log("compiling TTFA path ...")
@@ -275,6 +279,9 @@ def main():
         ("batch8", lambda: bench_batch8(results, ctx)),
         ("cfg520", lambda: bench_cfg520(results)),
     ]
+    # optional subset selection for local iteration: `python bench.py ttfa ...`
+    if len(sys.argv) > 1:
+        extras = [(n, f) for n, f in extras if n in sys.argv[1:]]
     for name, fn in extras:
         if _elapsed() > BUDGET_S:
             _log(f"time budget exceeded ({_elapsed():.0f}s) — skipping {name}")

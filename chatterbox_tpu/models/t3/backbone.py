@@ -277,10 +277,10 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
     shared_start = start.ndim == 0
     for i, lp in enumerate(params["layers"]):
         # fused decode-layer fast path: two pallas launches per layer
-        # (LN1+QKV, attn_out+LN2+MLP) with int4 weight streaming —
+        # (norm+QKV, attn_out+norm+MLP) with streamed weights —
         # ops/fused_layer.py. Single-token steps only.
-        fused_layer = cfg.is_gpt and "fused" in lp and x.shape[1] == 1
-        if fused_layer:
+        fused_layer = "fused" in lp and x.shape[1] == 1
+        if fused_layer and cfg.is_gpt:
             from ...ops.fused_layer import (apply_fused_gpt2_qkv,
                                             apply_fused_gpt2_qkv_int8)
             f_qkv = (apply_fused_gpt2_qkv if "qkv_wp" in lp["fused"]
@@ -292,6 +292,18 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
             q = nn.split_heads(q, cfg.num_heads)
             k = nn.split_heads(k, cfg.num_heads)
             v = nn.split_heads(v, cfg.num_heads)
+        elif fused_layer:
+            from ...ops.fused_layer import apply_fused_llama_qkv_int8
+            qkv = apply_fused_llama_qkv_int8(
+                lp["fused"], x[:, 0], cfg.rms_norm_eps
+            ).astype(x.dtype)[:, None, :]
+            nq = cfg.num_heads * cfg.head_dim
+            nkv = cfg.num_kv_heads * cfg.head_dim
+            q = nn.split_heads(qkv[..., :nq], cfg.num_heads)
+            k = nn.split_heads(qkv[..., nq: nq + nkv], cfg.num_kv_heads)
+            v = nn.split_heads(qkv[..., nq + nkv:], cfg.num_kv_heads)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
         elif cfg.is_gpt:
             y = nn.layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
             qkv = nn.linear(lp["qkv"], y)
@@ -324,7 +336,7 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
             ck = jnp.repeat(ck, rep, axis=1)
             cv = jnp.repeat(cv, rep, axis=1)
         attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
-        if fused_layer:
+        if fused_layer and cfg.is_gpt:
             from ...ops.fused_layer import (apply_fused_gpt2_mlp,
                                             apply_fused_gpt2_mlp_int8)
             f_mlp = (apply_fused_gpt2_mlp if "qkv_wp" in lp["fused"]
@@ -332,6 +344,13 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
             x = f_mlp(
                 lp["fused"], nn.merge_heads(attn)[:, 0].astype(x.dtype),
                 x[:, 0], cfg.layer_norm_eps).astype(x.dtype)[:, None, :]
+        elif fused_layer:
+            from ...ops.fused_layer import (apply_fused_llama_mlp_int8,
+                                            llama_mlp_tile)
+            x = apply_fused_llama_mlp_int8(
+                lp["fused"], nn.merge_heads(attn)[:, 0].astype(x.dtype),
+                x[:, 0], cfg.rms_norm_eps,
+                tw=llama_mlp_tile(cfg)).astype(x.dtype)[:, None, :]
         elif cfg.is_gpt:
             x = x + nn.linear(lp["attn_out"], nn.merge_heads(attn))
             y = nn.layer_norm(lp["ln2"], x, cfg.layer_norm_eps)

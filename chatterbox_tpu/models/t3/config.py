@@ -68,6 +68,13 @@ GPT2_FUSED_TEST = BackboneConfig(
     head_dim=64, intermediate_size=2048, vocab_size=96,
 )
 
+# smallest llama shape satisfying the int8 fused kernel tiles
+# (ops/fused_layer.py: D % 512 == 0, qkv-N % 512 == 0, I % 512 == 0)
+LLAMA_FUSED_TEST = BackboneConfig(
+    family="llama", hidden_size=512, num_layers=2, num_heads=8,
+    head_dim=64, intermediate_size=1024, num_kv_heads=8,
+)
+
 BACKBONES = {
     "Llama_520M": LLAMA_520M,
     "GPT2_medium": GPT2_MEDIUM,
@@ -75,6 +82,7 @@ BACKBONES = {
     "GPT2_tiny_test": GPT2_TINY_TEST,
     "Llama_tiny_test": LLAMA_TINY_TEST,
     "GPT2_fused_test": GPT2_FUSED_TEST,
+    "Llama_fused_test": LLAMA_FUSED_TEST,
 }
 
 

@@ -429,6 +429,212 @@ def attnout_ln_mlp_int8(a, xres, wo, so8, bo8, g28, be28, w1, s18, b18,
     )(a, xres, wo, so8, bo8, g28, be28, w1, s18, b18, w2, s28, b28)
 
 
+# ---------------------------------------------------------------------------
+# llama-family int8 fused decode-layer kernels (the 520M CFG backbone):
+#   kernel A  rms_qkv_int8:        y = RMSNorm(x)·g; out = y @ [Wq|Wk|Wv]
+#                                  (RoPE + attention stay outside)
+#   kernel B  attnout_rms_glu_int8: r = x + attn @ Wo
+#                                   y = RMSNorm(r)·g2
+#                                   out = r + (silu(y@Wg) * (y@Wu)) @ Wd
+# Same fusion rationale as the GPT-2 pair: per-XLA-op dispatch dominates the
+# int8 decode step; these collapse ~22 XLA ops/layer into two launches.
+# Reference behavior: LlamaDecoderLayer (HF modeling_llama; the reference's
+# 520M T3 backbone — /root/reference/src/chatterbox/models/t3/
+# llama_configs.py:1-33).
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm_f32(x_f32, g_row, eps):
+    var = jnp.mean(x_f32 * x_f32, axis=-1, keepdims=True)
+    return x_f32 * jax.lax.rsqrt(var + eps) * g_row.astype(jnp.float32)
+
+
+def _silu_f32(x):
+    return x * jax.lax.logistic(x)
+
+
+def _rms_qkv_kernel_i8(x_ref, g_ref, w_ref, s_ref, out_ref, y_scr, *, eps):
+    """Grid (N//TN, D//TK8), k innermost. w (TK8, TN) int8 streamed tile;
+    s (8, TN) per-out-channel scale applied on the last k step."""
+    n, k = pl.program_id(0), pl.program_id(1)
+    n_k = pl.num_programs(1)
+
+    @pl.when((n == 0) & (k == 0))
+    def _():
+        y_scr[:] = _rms_norm_f32(x_ref[:].astype(jnp.float32),
+                                 g_ref[0:1, :], eps)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = w_ref[:].astype(jnp.bfloat16)
+    xk = y_scr[:, pl.ds(k * TK8, TK8)].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        xk, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = out_ref[:] * s_ref[0:1, :].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def rms_qkv_int8(x, g8, w, s8, *, eps: float, interpret: bool | None = None):
+    """x (B, D) -> RMSNorm(x) @ W, (B, N) f32. w (D, N) int8, s8 (8, N)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, D = x.shape
+    _, N = w.shape
+    assert D % TK8 == 0 and N % TN == 0
+    grid = (N // TN, D // TK8)
+    return pl.pallas_call(
+        functools.partial(_rms_qkv_kernel_i8, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, D), lambda n, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, D), lambda n, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK8, TN), lambda n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TN), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(x, g8, w, s8)
+
+
+def _attnout_rms_glu_kernel_i8(a_ref, xres_ref, wo_ref, so_ref, g2_ref,
+                               wg_ref, sg_ref, wu_ref, su_ref, wd_ref, sd_ref,
+                               out_ref, y2_scr, *, eps):
+    """Grid (1 + I//TWL,). Phase 0: r = xres + a@Wo*so; y2 = RMSNorm(r);
+    out = r. Phases j>0: out += (silu(y2@Wg_j*sg) * (y2@Wu_j*su)) @ Wd_j*sd.
+    Streamed tiles: wg/wu (D, TWL), wd (TWL, D)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc = jax.lax.dot_general(
+            a_ref[:].astype(jnp.bfloat16), wo_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = (xres_ref[:].astype(jnp.float32)
+             + acc * so_ref[0:1, :].astype(jnp.float32))
+        y2_scr[:] = _rms_norm_f32(r, g2_ref[0:1, :], eps)
+        out_ref[:] = r
+
+    @pl.when(j > 0)
+    def _():
+        jj = j - 1
+        TWL = wg_ref.shape[1]
+        y2 = y2_scr[:].astype(jnp.bfloat16)
+        ug = jax.lax.dot_general(
+            y2, wg_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ) * sg_ref[0:1, pl.ds(jj * TWL, TWL)].astype(jnp.float32)
+        uu = jax.lax.dot_general(
+            y2, wu_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ) * su_ref[0:1, pl.ds(jj * TWL, TWL)].astype(jnp.float32)
+        h = (_silu_f32(ug) * uu).astype(jnp.bfloat16)
+        pd = jax.lax.dot_general(
+            h, wd_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # Wd's per-out-channel scale is k-independent: apply per partial dot
+        out_ref[:] += pd * sd_ref[0:1, :].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tw", "interpret"))
+def attnout_rms_glu_int8(a, xres, wo, so8, g28, wg, sg8, wu, su8, wd, sd8,
+                         *, eps: float, tw: int = 1024,
+                         interpret: bool | None = None):
+    """Fused second half of a llama decode layer, int8 weights.
+
+    a: merged attention output (B, H·hd); xres (B, D); wo (H·hd, D),
+    wg/wu (D, I), wd (I, D) int8; s*8 (8, N) per-out-channel scales.
+    Returns new x (B, D) f32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, D = xres.shape
+    I = wg.shape[1]
+    assert I % tw == 0
+    grid = (1 + I // tw,)
+    c = lambda j: (0, 0)
+    scol = lambda j: (0, jnp.maximum(j - 1, 0))
+    srow = lambda j: (jnp.maximum(j - 1, 0), 0)
+    return pl.pallas_call(
+        functools.partial(_attnout_rms_glu_kernel_i8, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, a.shape[1]), c, memory_space=pltpu.VMEM),   # a
+            pl.BlockSpec((B, D), c, memory_space=pltpu.VMEM),            # xres
+            pl.BlockSpec((a.shape[1], D), c, memory_space=pltpu.VMEM),   # wo
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),            # so
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),            # g2
+            pl.BlockSpec((D, tw), scol, memory_space=pltpu.VMEM),        # wg
+            pl.BlockSpec((8, I), c, memory_space=pltpu.VMEM),            # sg
+            pl.BlockSpec((D, tw), scol, memory_space=pltpu.VMEM),        # wu
+            pl.BlockSpec((8, I), c, memory_space=pltpu.VMEM),            # su
+            pl.BlockSpec((tw, D), srow, memory_space=pltpu.VMEM),        # wd
+            pl.BlockSpec((8, D), c, memory_space=pltpu.VMEM),            # sd
+        ],
+        out_specs=pl.BlockSpec((B, D), c, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(a, xres, wo, so8, g28, wg, sg8, wu, su8, wd, sd8)
+
+
+def fused_llama_supported(cfg) -> bool:
+    """Tile-alignment requirements of the llama int8 kernel pair."""
+    D, I = cfg.hidden_size, cfg.intermediate_size
+    N = (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+    return (not cfg.is_gpt and D % TK8 == 0 and N % TN == 0
+            and I % 512 == 0 and (cfg.num_heads * cfg.head_dim) == D)
+
+
+def llama_mlp_tile(cfg) -> int:
+    return 1024 if cfg.intermediate_size % 1024 == 0 else 512
+
+
+def prepare_fused_llama_layer_int8(lp: dict) -> dict:
+    """Fused-kernel operands from an int8-quantized llama layer dict
+    ({"q","k","v","o","gate","up","down"} carrying {"w_q","w_scale"}).
+    q|k|v are concatenated into one (D, (H+2KV)·hd) matvec operand (the
+    separate per-projection tensors stay for prefill)."""
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        assert "w_q" in lp[name], "quantize int8 first"
+    qkv_w = jnp.concatenate([lp["q"]["w_q"], lp["k"]["w_q"], lp["v"]["w_q"]],
+                            axis=1)
+    qkv_s = jnp.concatenate([lp["q"]["w_scale"], lp["k"]["w_scale"],
+                             lp["v"]["w_scale"]])
+    return {
+        "g1_8": _bcast8(lp["input_ln"]["g"]),
+        "qkv_w": qkv_w, "qkv_s8": _bcast8(qkv_s),
+        "wo_w": lp["o"]["w_q"], "wo_s8": _bcast8(lp["o"]["w_scale"]),
+        "g2_8": _bcast8(lp["post_ln"]["g"]),
+        "wg": lp["gate"]["w_q"], "sg_8": _bcast8(lp["gate"]["w_scale"]),
+        "wu": lp["up"]["w_q"], "su_8": _bcast8(lp["up"]["w_scale"]),
+        "wd": lp["down"]["w_q"], "sd_8": _bcast8(lp["down"]["w_scale"]),
+    }
+
+
+def apply_fused_llama_qkv_int8(fl: dict, x2d, eps: float):
+    """(B, D) -> (B, (H+2KV)·hd) f32 via the rms+qkv kernel."""
+    return rms_qkv_int8(x2d, fl["g1_8"], fl["qkv_w"], fl["qkv_s8"], eps=eps)
+
+
+def apply_fused_llama_mlp_int8(fl: dict, attn2d, xres2d, eps: float, tw: int):
+    return attnout_rms_glu_int8(
+        attn2d, xres2d, fl["wo_w"], fl["wo_s8"], fl["g2_8"],
+        fl["wg"], fl["sg_8"], fl["wu"], fl["su_8"], fl["wd"], fl["sd_8"],
+        eps=eps, tw=tw)
+
+
 def prepare_fused_gpt2_layer_int8(lp: dict) -> dict:
     """Fused-kernel operands from an int8-quantized GPT-2 layer dict
     ({"qkv","attn_out","fc_in","fc_out"} carrying {"w_q","w_scale","b"})."""

@@ -153,9 +153,12 @@ def best_serving_mode(cfg) -> str:
     the fused int8 decode-layer kernels (ops/fused_layer.py) add +18 % by
     collapsing per-op dispatch (1331 vs 1130 tok/s, GPT2-medium); int4 is
     VPU-unpack-bound and loses. The fused kernels need tile-aligned dims."""
+    from ..ops.fused_layer import fused_llama_supported
     if (cfg.is_gpt and cfg.hidden_size % 512 == 0
             and (3 * cfg.hidden_size) % 512 == 0
             and cfg.intermediate_size % 1024 == 0):
+        return "int8_fused"
+    if fused_llama_supported(cfg):
         return "int8_fused"
     return "int8"
 
@@ -178,10 +181,12 @@ def quantize_t3_backbone(t3_params: dict, mode: str = "int8",
             _quantize_gpt2_layer_fused(lp, ln_eps)
             for lp in t3_params["backbone"]["layers"]]
     elif mode == "int8_fused":
-        from ..ops.fused_layer import prepare_fused_gpt2_layer_int8
+        from ..ops.fused_layer import (prepare_fused_gpt2_layer_int8,
+                                       prepare_fused_llama_layer_int8)
         layers = quantize_tree(t3_params["backbone"]["layers"], mode="int8")
         for lp in layers:
-            lp["fused"] = prepare_fused_gpt2_layer_int8(lp)
+            lp["fused"] = (prepare_fused_gpt2_layer_int8(lp) if "qkv" in lp
+                           else prepare_fused_llama_layer_int8(lp))
         backbone["layers"] = layers
     else:
         backbone["layers"] = quantize_tree(t3_params["backbone"]["layers"], mode=mode)

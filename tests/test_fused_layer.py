@@ -246,6 +246,103 @@ class TestInt8Fused:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
 
+    def test_rms_qkv_int8_matches_xla(self):
+        from chatterbox_tpu.ops.fused_layer import rms_qkv_int8, _rms_norm_f32
+        from chatterbox_tpu.utils.quantize import quantize_linear_weight
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((2, D)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((D, 3 * D)).astype(np.float32)) * 0.02
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32))
+        w_q, s = quantize_linear_weight(w)
+        bc = lambda v: jnp.broadcast_to(v[None], (8, v.shape[0]))
+        out = rms_qkv_int8(x, bc(g), w_q, bc(s), eps=EPS)
+        y = _rms_norm_f32(x.astype(jnp.float32), g[None], EPS)
+        ref = jax.lax.dot_general(
+            y.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * s[None]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_attnout_rms_glu_int8_matches_xla(self):
+        from chatterbox_tpu.ops.fused_layer import (
+            attnout_rms_glu_int8, _rms_norm_f32, _silu_f32)
+        from chatterbox_tpu.utils.quantize import quantize_linear_weight
+        rng = np.random.default_rng(7)
+        B, I_ = 2, 1024
+        a = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32) * 0.5
+                        ).astype(jnp.bfloat16)
+        xres = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32)
+                           ).astype(jnp.bfloat16)
+        mk = lambda shape: jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32)) * 0.02
+        wo, wg, wu, wd = mk((D, D)), mk((D, I_)), mk((D, I_)), mk((I_, D))
+        g2 = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32))
+        qo, so = quantize_linear_weight(wo)
+        qg, sg = quantize_linear_weight(wg)
+        qu, su = quantize_linear_weight(wu)
+        qd, sd = quantize_linear_weight(wd)
+        bc = lambda v: jnp.broadcast_to(v[None], (8, v.shape[0]))
+        out = attnout_rms_glu_int8(a, xres, qo, bc(so), bc(g2),
+                                   qg, bc(sg), qu, bc(su), qd, bc(sd),
+                                   eps=EPS, tw=512)
+        # mirror
+        d = lambda x_, w_: jax.lax.dot_general(
+            x_.astype(jnp.bfloat16), w_.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        r = xres.astype(jnp.float32) + d(a, qo) * so[None]
+        y2 = _rms_norm_f32(r, g2[None], EPS)
+        ug = d(y2, qg) * sg[None]
+        uu = d(y2, qu) * su[None]
+        h = (_silu_f32(ug) * uu).astype(jnp.bfloat16)
+        # the kernel applies Wd per 512-wide phase; mirror that split
+        ref = r.copy()
+        for j in range(I_ // 512):
+            sl = slice(j * 512, (j + 1) * 512)
+            ref = ref + d(h[:, sl], qd[sl]) * sd[None]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_fused_llama_generate_matches_unfused_greedy(self):
+        from chatterbox_tpu.models.t3.config import T3Config
+        from chatterbox_tpu.models.t3 import model as t3m
+        from chatterbox_tpu.sampling.decode import t3_generate
+        from chatterbox_tpu.ops.sampling import SamplerParams
+        from chatterbox_tpu.ops.fused_layer import fused_llama_supported
+        from chatterbox_tpu.utils.quantize import (quantize_t3_backbone,
+                                                   best_serving_mode)
+        hp = T3Config(
+            text_tokens_dict_size=64, backbone_name="Llama_fused_test",
+            speech_tokens_dict_size=80, input_pos_emb="learned",
+            speech_cond_prompt_len=8, use_perceiver_resampler=False,
+            emotion_adv=True, max_text_tokens=64, max_speech_tokens=128)
+        assert fused_llama_supported(hp.backbone)
+        assert best_serving_mode(hp.backbone) == "int8_fused"
+        params = t3m.t3_init(jax.random.key(0), hp)
+        qp = quantize_t3_backbone(params, mode="int8_fused")
+        up = dict(qp)
+        up["backbone"] = dict(qp["backbone"])
+        up["backbone"]["layers"] = [
+            {k: v for k, v in lp.items() if k != "fused"}
+            for lp in qp["backbone"]["layers"]]
+        cond = t3m.T3CondArrays(
+            speaker_emb=jnp.zeros((1, 256)),
+            cond_prompt_speech_tokens=jnp.zeros(
+                (1, hp.speech_cond_prompt_len), jnp.int32),
+            emotion_adv=0.5 * jnp.ones((1, 1, 1)))
+        text = jnp.zeros((1, 8), jnp.int32)
+        sp = SamplerParams.make(temperature=1e-4, top_p=1.0,
+                                repetition_penalty=1.0, cfg_weight=0.5)
+        kw = dict(max_new_tokens=6, cfg_mode=True, ignore_eos=True)
+        r_f = t3_generate(qp, hp, cond, text, jnp.asarray(6), sp,
+                          jax.random.key(7), **kw)
+        r_u = t3_generate(up, hp, cond, text, jnp.asarray(6), sp,
+                          jax.random.key(7), **kw)
+        assert np.isfinite(np.asarray(r_f.tokens)).all()
+        np.testing.assert_array_equal(np.asarray(r_f.tokens),
+                                      np.asarray(r_u.tokens))
+
     def test_fused_int8_generate_matches_unfused_greedy(self):
         from chatterbox_tpu.models.t3.config import T3Config
         from chatterbox_tpu.models.t3 import model as t3m

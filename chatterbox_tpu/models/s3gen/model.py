@@ -417,6 +417,15 @@ class S3GenEngine:
         Returns a list of (T_i,) waveforms. All rows share one bucketed flow
         call (per-row prompt/gen lengths masked) and one HiFT call.
         """
+        return self.inference_batch_fetch(
+            self.inference_batch_dispatch(token_rows, refs, key, n_timesteps))
+
+    def inference_batch_dispatch(self, token_rows: list, refs: list, key,
+                                 n_timesteps: Optional[int] = None):
+        """Async half of inference_batch: enqueues the fused program and
+        returns a handle (device wavs + row lengths) WITHOUT syncing. A
+        serving loop can dispatch the next batch's decode before fetching —
+        the ~MBs waveform transfer then overlaps device compute."""
         B = len(token_rows)
         assert B == len(refs) and B >= 1
         Ps = [int(r.prompt_token_len[0]) for r in refs]
@@ -440,11 +449,16 @@ class S3GenEngine:
             jnp.asarray(Ps), jnp.asarray(feats), jnp.asarray(embs), key,
             n_timesteps=n_timesteps or self.n_timesteps,
             mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
-        wavs = np.asarray(wavs)
+        return (wavs, Gs)
+
+    def inference_batch_fetch(self, handle) -> list:
+        """Sync half of inference_batch: fetches and unpacks the waveforms."""
+        wavs_dev, Gs = handle
+        wavs = np.asarray(wavs_dev)
         if self.pcm16_fetch:
             wavs = wavs.astype(np.float32) / 32767.0
         return [wavs[i, : Gs[i] * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE]
-                for i in range(B)]
+                for i in range(len(Gs))]
 
     # ------------------------------------------------------------------
     # wav → tokens (for VC; ref: vc.py:94-97)

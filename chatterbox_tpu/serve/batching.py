@@ -82,6 +82,11 @@ class BatchDecoder:
             for i, r in enumerate(requests)])
 
     def decode_batch(self, requests: list[TTSRequest]) -> list[TTSResult]:
+        return self.decode_batch_fetch(self.decode_batch_dispatch(requests))
+
+    def decode_batch_dispatch(self, requests: list[TTSRequest]):
+        """Async half: enqueues the batched decode, returns a handle without
+        syncing (the pipelined ServingLoop fetches later)."""
         B = len(requests)
         assert B >= 1
         lens = [len(r.text_tokens) for r in requests]
@@ -108,8 +113,12 @@ class BatchDecoder:
             jnp.asarray(lens, jnp.int32), sp, keys,
             max_new_tokens=self.max_new_tokens, top_k=self.top_k,
             cfg_mode=self.cfg)
-        tokens = np.asarray(res.tokens)
-        counts = np.asarray(res.n_tokens)
+        return (res, requests)
+
+    def decode_batch_fetch(self, handle) -> list[TTSResult]:
+        """Sync half: fetches tokens and builds per-request results."""
+        res, requests = handle
+        tokens, counts = jax.device_get((res.tokens, res.n_tokens))
         out = []
         for i, r in enumerate(requests):
             t = tokens[i, : counts[i]]
@@ -174,11 +183,29 @@ class ServingLoop:
         if self._thread:
             self._thread.join(timeout=30)
 
+    def _finalize(self, pending):
+        """Fetch a dispatched batch's waveforms and fire callbacks."""
+        ordered, handle = pending
+        if handle is not None:
+            wavs = self.s3gen.inference_batch_fetch(handle)
+            for r, w in zip(ordered, wavs):
+                r.wav = w
+        for result in ordered:
+            self.on_result(result)
+
     def _run(self):
+        # Two-deep pipeline: batch N's vocode stays enqueued on the device
+        # while the host collects batch N+1 and dispatches its decode; N's
+        # waveform fetch (the big relay transfer) then overlaps N+1's
+        # on-device decode compute.
+        pending = None
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
+                if pending is not None:
+                    self._finalize(pending)
+                    pending = None
                 continue
             batch = [first]
             deadline = self.batch_wait_s
@@ -187,15 +214,20 @@ class ServingLoop:
                     batch.append(self._q.get(timeout=deadline))
                 except queue.Empty:
                     break
-            results = self.decoder.decode_batch(batch)
+            dec_handle = self.decoder.decode_batch_dispatch(batch)
+            if pending is not None:
+                self._finalize(pending)
+                pending = None
+            results = self.decoder.decode_batch_fetch(dec_handle)
             if self.s3gen is not None and all(r.ref is not None for r in batch):
                 by_id = {r.request_id: r for r in results}
                 ordered = [by_id[req.request_id] for req in batch]
                 self._key, k = jax.random.split(self._key)
-                wavs = self.s3gen.inference_batch(
+                voc_handle = self.s3gen.inference_batch_dispatch(
                     [r.speech_tokens for r in ordered],
                     [req.ref for req in batch], k)
-                for r, w in zip(ordered, wavs):
-                    r.wav = w
-            for result in results:
-                self.on_result(result)
+                pending = (ordered, voc_handle)
+            else:
+                pending = (results, None)
+        if pending is not None:
+            self._finalize(pending)

@@ -104,7 +104,10 @@ def cfm_inference(params: dict, mu: jnp.ndarray, mask: jnp.ndarray,
     (ref: flow_matching.py:218-220). `prompt_len` may be a scalar or a (B,)
     array of per-row prompt-mel offsets (heterogeneous batched serving).
     """
-    z = jax.random.normal(key, mu.shape, mu.dtype)
+    if key.ndim == 1:   # (B,) per-row keys: row output independent of batch
+        z = jax.vmap(lambda k: jax.random.normal(k, mu.shape[1:], mu.dtype))(key)
+    else:
+        z = jax.random.normal(key, mu.shape, mu.dtype)
     if noise is not None:
         if prompt_len is None:
             z = noise

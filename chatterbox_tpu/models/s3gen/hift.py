@@ -111,11 +111,15 @@ def hift_source(params: dict, key, f0: jnp.ndarray,
                 phase_carry: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """f0 (B, T_mel) -> source signal s (B, T_mel*480, 1).
 
+    key: a scalar PRNG key (batch-shaped draws, the single-stream path) or a
+    (B,) key array — then each row's harmonic phases/noise are drawn from its
+    own key, so a row's output is independent of its batchmates (per-request
+    reproducibility in the serving batch).
+
     phase_carry (B, NB_HARMONICS+1): accumulated Σ f/sr over all samples
     BEFORE this window — lets a streaming caller continue the harmonic phase
     across windows instead of restarting the cumsum (the continuity the
     reference's dormant `cache_source` hook provides — ref: hifigan.py:471-473)."""
-    k_phase, k_noise = jax.random.split(key)
     f0_up = jnp.repeat(f0, TOTAL_UPSAMPLE, axis=1)                   # (B, T*480)
     B, T = f0_up.shape
     harmonics = jnp.arange(1, NB_HARMONICS + 2, dtype=jnp.float32)
@@ -124,13 +128,24 @@ def hift_source(params: dict, key, f0: jnp.ndarray,
     if phase_carry is not None:
         cum = cum + phase_carry[:, None, :]
     theta = 2.0 * jnp.pi * (cum % 1.0)
-    phase = jax.random.uniform(k_phase, (B, 1, NB_HARMONICS + 1),
-                               minval=-jnp.pi, maxval=jnp.pi)
+    if key.ndim == 1:                                # per-row keys (B,)
+        def draw(k):
+            kp, kn = jax.random.split(k)
+            p = jax.random.uniform(kp, (1, NB_HARMONICS + 1),
+                                   minval=-jnp.pi, maxval=jnp.pi)
+            n = jax.random.normal(kn, (T, NB_HARMONICS + 1))
+            return p, n
+        phase, noise_u = jax.vmap(draw)(key)         # (B,1,9), (B,T,9)
+    else:
+        k_phase, k_noise = jax.random.split(key)
+        phase = jax.random.uniform(k_phase, (B, 1, NB_HARMONICS + 1),
+                                   minval=-jnp.pi, maxval=jnp.pi)
+        noise_u = jax.random.normal(k_noise, (B, T, NB_HARMONICS + 1))
     phase = phase.at[:, :, 0].set(0.0)
     sine = SINE_AMP * jnp.sin(theta + phase)
     uv = (f0_up > VOICED_THRESHOLD).astype(jnp.float32)[..., None]
     noise_amp = uv * NOISE_STD + (1.0 - uv) * SINE_AMP / 3.0
-    noise = noise_amp * jax.random.normal(k_noise, sine.shape)
+    noise = noise_amp * noise_u
     sine = sine * uv + noise                                         # (B, T, 9)
     return jnp.tanh(nn.linear(params["m_source_linear"], sine))     # (B, T, 1)
 

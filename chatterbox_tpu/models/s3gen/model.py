@@ -124,11 +124,19 @@ class S3GenEngine:
             writes). Ref behavior: s3gen.py:329-362 (tokens→wav) +
             s3gen.py:254-258 (trim fade)."""
             B = token.shape[0]
-            k_noise, k_flow, k_hift = jax.random.split(key, 3)
+            T_mel = token.shape[1] * TOKEN_MEL_RATIO
             noise = None
-            if meanflow:
-                noise = jax.random.normal(
-                    k_noise, (B, token.shape[1] * TOKEN_MEL_RATIO, 80))
+            if key.ndim == 1:      # (B,) per-row keys: per-request noise,
+                                   # row output independent of its batchmates
+                ks = jax.vmap(lambda kk: jax.random.split(kk, 3))(key)
+                k_flow, k_hift = ks[:, 1], ks[:, 2]
+                if meanflow:
+                    noise = jax.vmap(lambda kk: jax.random.normal(
+                        kk, (T_mel, 80)))(ks[:, 0])
+            else:
+                k_noise, k_flow, k_hift = jax.random.split(key, 3)
+                if meanflow:
+                    noise = jax.random.normal(k_noise, (B, T_mel, 80))
             mels = flow_inference(
                 params["flow"], token=token, token_len=token_len,
                 prompt_len=prompt_len, prompt_feat=prompt_feat,
@@ -425,7 +433,11 @@ class S3GenEngine:
         """Async half of inference_batch: enqueues the fused program and
         returns a handle (device wavs + row lengths) WITHOUT syncing. A
         serving loop can dispatch the next batch's decode before fetching —
-        the ~MBs waveform transfer then overlaps device compute."""
+        the ~MBs waveform transfer then overlaps device compute.
+
+        key: one key (batch-shaped draws) or a stacked (B,) key array —
+        per-row noise, so each row's audio is reproducible from its own key
+        regardless of batch composition."""
         B = len(token_rows)
         assert B == len(refs) and B >= 1
         Ps = [int(r.prompt_token_len[0]) for r in refs]

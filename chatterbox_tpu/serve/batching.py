@@ -183,6 +183,17 @@ class ServingLoop:
         if self._thread:
             self._thread.join(timeout=30)
 
+    def _vocode_keys(self, batch: list[TTSRequest]):
+        """(B,) stacked keys: seeded requests get a seed-derived key (audio
+        reproducible regardless of batch composition); unseeded rows draw
+        from the loop key."""
+        self._key, k = jax.random.split(self._key)
+        base = jax.random.split(k, len(batch))
+        return jnp.stack([
+            jax.random.fold_in(jax.random.key(r.seed), 1)
+            if r.seed is not None else base[i]
+            for i, r in enumerate(batch)])
+
     def _finalize(self, pending):
         """Fetch a dispatched batch's waveforms and fire callbacks."""
         ordered, handle = pending
@@ -222,10 +233,9 @@ class ServingLoop:
             if self.s3gen is not None and all(r.ref is not None for r in batch):
                 by_id = {r.request_id: r for r in results}
                 ordered = [by_id[req.request_id] for req in batch]
-                self._key, k = jax.random.split(self._key)
                 voc_handle = self.s3gen.inference_batch_dispatch(
                     [r.speech_tokens for r in ordered],
-                    [req.ref for req in batch], k)
+                    [req.ref for req in batch], self._vocode_keys(batch))
                 pending = (ordered, voc_handle)
             else:
                 pending = (results, None)

@@ -1,0 +1,180 @@
+"""Minimal production HTTP serving front for the batched TTS loop.
+
+The reference's only serving surface is gradio demo apps (ref:
+gradio_tts_app.py:90-93, queue concurrency 1). This module exposes the
+pipelined batched ServingLoop (serve/batching.py) over plain HTTP with the
+stdlib ThreadingHTTPServer — no extra dependencies:
+
+  POST /tts     {"text": "...", "voice": "<id>", "seed": 3,
+                 "temperature": 0.8, "top_p": 0.95,
+                 "repetition_penalty": 1.2}          → audio/wav (PCM16)
+  GET  /voices                                       → {"voices": [...]}
+  GET  /healthz                                      → {"ok": true, ...}
+
+Concurrent requests are grouped into device batches by the loop (one batched
+decode + one batched fused S3Gen per group), so N simultaneous callers cost
+~one batch, not N sequential syntheses.
+"""
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..ops.sampling import SamplerParams
+from .batching import BatchDecoder, ServingLoop, TTSRequest
+
+
+def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    """float32 mono -> in-memory RIFF/PCM16 (native packetizer when built)."""
+    wav = np.ascontiguousarray(np.clip(np.asarray(wav, np.float32).reshape(-1),
+                                       -1.0, 1.0))
+    pcm = np.empty(len(wav), np.int16)
+    try:
+        from ..runtime import get_lib
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        lib.pcm16_from_f32(wav, pcm, len(wav))
+    else:
+        pcm[:] = np.round(wav * 32767.0).astype(np.int16)
+    data = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sr, sr * 2, 2, 16, b"data", len(data))
+    return hdr + data
+
+
+class Voice:
+    """A registered voice: T3 conditioning + S3Gen reference bundle."""
+
+    def __init__(self, cond, ref):
+        self.cond = cond          # T3CondHost-like (speaker_emb, prompt toks)
+        self.ref = ref            # RefDict
+
+
+class TTSHTTPServer:
+    """HTTP front over a pipelined ServingLoop.
+
+    tokenizer: object with .text_to_tokens(text); voices: {id: Voice}.
+    `frame_text` (optional) maps raw ids -> framed ids for the CFG family.
+    """
+
+    def __init__(self, decoder: BatchDecoder, s3gen, tokenizer,
+                 voices: dict, sr: int = 24000, host: str = "127.0.0.1",
+                 port: int = 8321, frame_text=None, timeout_s: float = 300.0):
+        self.sr = sr
+        self.tokenizer = tokenizer
+        self.voices = voices
+        self.frame_text = frame_text
+        self.timeout_s = timeout_s
+        self._events: dict[int, threading.Event] = {}
+        self._results: dict[int, object] = {}
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self.loop = ServingLoop(decoder, self._on_result, s3gen=s3gen)
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self.host, self.port = self._httpd.server_address[:2]
+
+    # ------------------------------------------------------------------
+    def _on_result(self, result):
+        self._results[result.request_id] = result
+        ev = self._events.get(result.request_id)
+        if ev is not None:
+            ev.set()
+
+    def synthesize(self, text: str, voice_id: str, seed: Optional[int] = None,
+                   **sampler_kw) -> np.ndarray:
+        """Blocking single synthesis through the batched loop."""
+        voice = self.voices[voice_id]
+        ids = np.asarray(self.tokenizer.text_to_tokens(text)).reshape(-1)
+        if self.frame_text is not None:
+            ids = np.asarray(self.frame_text(ids)).reshape(-1)
+        with self._id_lock:
+            rid = self._next_id
+            self._next_id += 1
+        ev = threading.Event()
+        self._events[rid] = ev
+        sampler = SamplerParams.make(**sampler_kw) if sampler_kw else None
+        self.loop.submit(TTSRequest(
+            text_tokens=ids.astype(np.int32), cond=voice.cond, ref=voice.ref,
+            sampler=sampler, request_id=rid, seed=seed))
+        if not ev.wait(self.timeout_s):
+            self._events.pop(rid, None)
+            raise TimeoutError(f"request {rid} timed out")
+        self._events.pop(rid, None)
+        result = self._results.pop(rid)
+        if result.wav is None:
+            raise RuntimeError("serving loop returned no audio "
+                               "(missing RefDict?)")
+        return np.asarray(result.wav).reshape(-1)
+
+    # ------------------------------------------------------------------
+    def _make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass                                    # quiet by default
+
+            def _json(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True,
+                                     "pending": server_self.loop._q.qsize()})
+                elif self.path == "/voices":
+                    self._json(200, {"voices": sorted(server_self.voices)})
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/tts":
+                    return self._json(404, {"error": "not found"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    text = req["text"]
+                    voice = req.get("voice", "default")
+                    if voice not in server_self.voices:
+                        return self._json(400, {"error": f"unknown voice "
+                                                f"{voice!r}"})
+                    kw = {k: float(req[k]) for k in
+                          ("temperature", "top_p", "min_p",
+                           "repetition_penalty", "cfg_weight") if k in req}
+                    wav = server_self.synthesize(
+                        text, voice, seed=req.get("seed"), **kw)
+                except TimeoutError as e:
+                    return self._json(504, {"error": str(e)})
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": repr(e)})
+                except Exception as e:
+                    return self._json(500, {"error": repr(e)})
+                body = wav_bytes(wav, server_self.sr)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return Handler
+
+    # ------------------------------------------------------------------
+    def start(self):
+        self.loop.start()
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._serve_thread.start()
+
+    def stop(self):
+        self._httpd.shutdown()
+        self.loop.stop()

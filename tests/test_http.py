@@ -1,0 +1,129 @@
+"""HTTP serving front (serve/http.py): end-to-end over a real socket with
+tiny models — POST /tts returns a parseable RIFF/PCM16 wav; concurrent
+requests share a batch; error paths return JSON."""
+import json
+import struct
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import jax
+import pytest
+
+from chatterbox_tpu.models.t3.config import T3Config
+from chatterbox_tpu.models.t3 import model as t3m
+from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, RefDict
+from chatterbox_tpu.models.s3gen.flow import FlowDims
+from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+from chatterbox_tpu.serve.batching import BatchDecoder
+from chatterbox_tpu.serve.http import TTSHTTPServer, Voice, wav_bytes
+
+
+class _Tok:
+    def text_to_tokens(self, t):
+        return (np.arange(len(t)) % 60 + 1).astype(np.int32)[:16]
+
+
+class _Cond:
+    def __init__(self, hp):
+        self.speaker_emb = np.zeros((1, 256), np.float32)
+        self.cond_prompt_speech_tokens = np.zeros(
+            (1, hp.speech_cond_prompt_len), np.int32)
+        self.emotion_adv = 0.5
+
+
+@pytest.fixture(scope="module")
+def server():
+    hp = T3Config.tiny_test("gpt2")
+    t3p = t3m.t3_init(jax.random.key(0), hp)
+    eng = S3GenEngine(s3gen_init(jax.random.key(1), meanflow=True,
+                                 tok_cfg=S3TokenizerConfig.tiny_test(),
+                                 dims=FlowDims.tiny_test(), hift_base=32),
+                      meanflow=True, tok_cfg=S3TokenizerConfig.tiny_test(),
+                      dims=FlowDims.tiny_test())
+    rng = np.random.default_rng(0)
+    P = 8
+    ref = RefDict(
+        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
+        prompt_token_len=np.asarray([P], np.int32),
+        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
+        embedding=rng.standard_normal((1, 192)).astype(np.float32))
+    dec = BatchDecoder(t3p, hp, max_batch=4, max_new_tokens=8, top_k=0)
+    srv = TTSHTTPServer(dec, eng, _Tok(),
+                        {"default": Voice(_Cond(hp), ref)},
+                        sr=24000, port=0, timeout_s=240.0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(server, payload, timeout=240):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/tts",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _parse_wav(body: bytes):
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    sr = struct.unpack("<I", body[24:28])[0]
+    data = body[44:]
+    return sr, np.frombuffer(data, np.int16)
+
+
+class TestWavBytes:
+    def test_roundtrip(self):
+        wav = np.sin(np.linspace(0, 40, 4800)).astype(np.float32) * 0.5
+        sr, pcm = _parse_wav(wav_bytes(wav, 24000))
+        assert sr == 24000 and len(pcm) == 4800
+        np.testing.assert_allclose(pcm / 32767.0, wav, atol=1.0 / 32767)
+
+
+class TestHTTP:
+    def test_tts_roundtrip(self, server):
+        with _post(server, {"text": "hello http", "voice": "default",
+                            "seed": 1, "temperature": 0.7}) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/wav"
+            sr, pcm = _parse_wav(resp.read())
+        assert sr == 24000
+        assert len(pcm) > 0 and np.isfinite(pcm).all()
+
+    def test_concurrent_requests_batch(self, server):
+        out = {}
+        def call(i):
+            with _post(server, {"text": f"req {i}", "seed": i}) as resp:
+                out[i] = _parse_wav(resp.read())[1]
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        [t.start() for t in threads]
+        [t.join(timeout=240) for t in threads]
+        assert sorted(out) == [0, 1, 2]
+        assert all(len(v) > 0 for v in out.values())
+
+    def test_same_seed_is_deterministic(self, server):
+        with _post(server, {"text": "determinism", "seed": 42}) as r1:
+            w1 = _parse_wav(r1.read())[1]
+        with _post(server, {"text": "determinism", "seed": 42}) as r2:
+            w2 = _parse_wav(r2.read())[1]
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_voices_and_health(self, server):
+        with urllib.request.urlopen(
+                f"http://{server.host}:{server.port}/voices", timeout=30) as r:
+            assert json.load(r)["voices"] == ["default"]
+        with urllib.request.urlopen(
+                f"http://{server.host}:{server.port}/healthz", timeout=30) as r:
+            assert json.load(r)["ok"] is True
+
+    def test_unknown_voice_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, {"text": "x", "voice": "nope"})
+        assert ei.value.code == 400
+
+    def test_bad_path_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://{server.host}:{server.port}/other", timeout=30)
+        assert ei.value.code == 404

@@ -119,6 +119,32 @@ def _cmd_info(_args):
     }, indent=2))
 
 
+def _cmd_serve(args):
+    from chatterbox_tpu import ChatterboxTurboTTS
+    from chatterbox_tpu.serve.batching import BatchDecoder
+    from chatterbox_tpu.serve.http import TTSHTTPServer, Voice
+
+    nano = args.model == "nano"
+    if args.ckpt_dir:
+        model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
+    else:
+        model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
+    model.prepare_conditionals(args.voice)
+    decoder = BatchDecoder(model.t3_params, model.hp, max_batch=args.max_batch)
+    server = TTSHTTPServer(
+        decoder, model.s3gen, model.tokenizer,
+        {"default": Voice(model.conds.t3, model.conds.gen)},
+        sr=model.sr, host=args.host, port=args.port)
+    server.start()
+    print(f"serving on http://{server.host}:{server.port}  "
+          f"(POST /tts, GET /voices, GET /healthz)")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="chatterbox_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -129,6 +155,13 @@ def main(argv=None):
     pv.add_argument("--out", default="out.wav")
     pv.add_argument("--ckpt-dir", default=None)
     sub.add_parser("info", help="environment/model info")
+    ps = sub.add_parser("serve", help="batched HTTP TTS server")
+    ps.add_argument("--voice", required=True, help=">5 s reference wav")
+    ps.add_argument("--model", choices=["turbo", "nano"], default="turbo")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8321)
+    ps.add_argument("--max-batch", type=int, default=8)
+    ps.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args(argv)
     if args.cmd == "synth":
         _cmd_synth(args)
@@ -136,6 +169,8 @@ def main(argv=None):
         _cmd_vc(args)
     elif args.cmd == "info":
         _cmd_info(args)
+    elif args.cmd == "serve":
+        _cmd_serve(args)
 
 
 if __name__ == "__main__":

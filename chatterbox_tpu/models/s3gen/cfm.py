@@ -43,11 +43,15 @@ def _unet_dims(params: dict, n_heads: int):
 def solve_euler_cfg(params: dict, z: jnp.ndarray, t_span: jnp.ndarray,
                     mu: jnp.ndarray, mask: jnp.ndarray, spks: jnp.ndarray,
                     cond: jnp.ndarray, cfg_rate: float = INFERENCE_CFG_RATE,
-                    n_heads: int = 8) -> jnp.ndarray:
+                    n_heads: int = 8, est_dtype=None) -> jnp.ndarray:
     """Euler ODE with in-solver CFG (ref: flow_matching.py:78-145).
 
     z/mu/cond: (B, T, 80); mask: (B, T); spks: (B, 80).
     The unconditional half zeroes mu, spks and cond (ref: flow_matching.py:100-132).
+    est_dtype: optional estimator compute dtype (e.g. bf16) — the Euler state
+    stays f32; the reference marks (but never reads) estimator_dtype="fp32"
+    (ref: s3gen.py:259), so fp32 is the parity default and bf16 an opt-in
+    speed knob.
     """
     B = mu.shape[0]
     mu_in = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
@@ -61,8 +65,15 @@ def solve_euler_cfg(params: dict, z: jnp.ndarray, t_span: jnp.ndarray,
         r = t_span[i + 1]
         x_in = jnp.concatenate([x, x], axis=0)
         t_in = jnp.full((2 * B,), t, x.dtype)
-        dxdt = unet_apply(params, x_in, mask_in, mu_in, t_in, spks_in, cond_in,
-                          **_unet_dims(params, n_heads))
+        if est_dtype is not None:
+            dxdt = unet_apply(params, x_in.astype(est_dtype), mask_in,
+                              mu_in.astype(est_dtype), t_in.astype(est_dtype),
+                              spks_in.astype(est_dtype),
+                              cond_in.astype(est_dtype),
+                              **_unet_dims(params, n_heads)).astype(x.dtype)
+        else:
+            dxdt = unet_apply(params, x_in, mask_in, mu_in, t_in, spks_in,
+                              cond_in, **_unet_dims(params, n_heads))
         d_cond, d_uncond = dxdt[:B], dxdt[B:]
         d = (1.0 + cfg_rate) * d_cond - cfg_rate * d_uncond
         return x + (r - t) * d
@@ -72,7 +83,8 @@ def solve_euler_cfg(params: dict, z: jnp.ndarray, t_span: jnp.ndarray,
 
 def solve_euler_meanflow(params: dict, z: jnp.ndarray, t_span: jnp.ndarray,
                          mu: jnp.ndarray, mask: jnp.ndarray, spks: jnp.ndarray,
-                         cond: jnp.ndarray, n_heads: int = 8) -> jnp.ndarray:
+                         cond: jnp.ndarray, n_heads: int = 8,
+                         est_dtype=None) -> jnp.ndarray:
     """basic_euler for distilled meanflow models (ref: flow_matching.py:235-246):
     estimator receives both step endpoints, no CFG."""
     B = mu.shape[0]
@@ -83,8 +95,15 @@ def solve_euler_meanflow(params: dict, z: jnp.ndarray, t_span: jnp.ndarray,
         r = t_span[i + 1]
         t_in = jnp.full((B,), t, x.dtype)
         r_in = jnp.full((B,), r, x.dtype)
-        dxdt = unet_apply(params, x, mask, mu, t_in, spks, cond, r=r_in,
-                          **_unet_dims(params, n_heads))
+        if est_dtype is not None:
+            dxdt = unet_apply(params, x.astype(est_dtype), mask,
+                              mu.astype(est_dtype), t_in.astype(est_dtype),
+                              spks.astype(est_dtype), cond.astype(est_dtype),
+                              r=r_in.astype(est_dtype),
+                              **_unet_dims(params, n_heads)).astype(x.dtype)
+        else:
+            dxdt = unet_apply(params, x, mask, mu, t_in, spks, cond, r=r_in,
+                              **_unet_dims(params, n_heads))
         return x + (r - t) * dxdt
 
     return jax.lax.fori_loop(0, n_steps, body, z)
@@ -95,7 +114,7 @@ def cfm_inference(params: dict, mu: jnp.ndarray, mask: jnp.ndarray,
                   n_timesteps: int = 10, meanflow: bool = False,
                   noise: Optional[jnp.ndarray] = None,
                   prompt_len: Optional[jnp.ndarray] = None,
-                  n_heads: int = 8) -> jnp.ndarray:
+                  n_heads: int = 8, est_dtype=None) -> jnp.ndarray:
     """Sample mels from the flow (ref: flow_matching.py:195-233).
 
     noise: optional pre-drawn noise for the *generated* region (meanflow mode
@@ -122,6 +141,6 @@ def cfm_inference(params: dict, mu: jnp.ndarray, mask: jnp.ndarray,
     t_span = jnp.asarray(span)
     if meanflow:
         return solve_euler_meanflow(params, z, t_span, mu, mask, spks, cond,
-                                    n_heads=n_heads)
+                                    n_heads=n_heads, est_dtype=est_dtype)
     return solve_euler_cfg(params, z, t_span, mu, mask, spks, cond,
-                           n_heads=n_heads)
+                           n_heads=n_heads, est_dtype=est_dtype)

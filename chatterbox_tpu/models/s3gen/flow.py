@@ -79,7 +79,8 @@ def flow_inference(params: dict, *,
                    noise: Optional[jnp.ndarray] = None,
                    noise_aligned: bool = False,
                    finalize: bool = True,
-                   dims: FlowDims = FlowDims()) -> jnp.ndarray:
+                   dims: FlowDims = FlowDims(),
+                   est_dtype=None) -> jnp.ndarray:
     """Returns mels (B, 2*T_tok, 80); the valid generated region is
     [2*prompt_len, 2*token_len) per row (prompt region already part of the
     buffer — callers slice with these bounds).
@@ -127,5 +128,5 @@ def flow_inference(params: dict, *,
                          noise=noise,
                          prompt_len=(None if noise is None or noise_aligned
                                      else prompt_mel_len),
-                         n_heads=dims.unet_heads)
+                         n_heads=dims.unet_heads, est_dtype=est_dtype)
     return mels

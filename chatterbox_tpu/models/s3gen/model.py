@@ -78,12 +78,28 @@ class S3GenEngine:
     def __init__(self, params: dict, meanflow: bool = False,
                  tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
                  n_timesteps: Optional[int] = None,
-                 dims: FlowDims = FlowDims()):
+                 dims: FlowDims = FlowDims(),
+                 cfm_dtype=None):
+        """cfm_dtype: optional CFM-estimator compute dtype (e.g.
+        jnp.bfloat16) — an opt-in speed knob; fp32 (the default) matches the
+        reference's estimator_dtype marker (ref: s3gen.py:259). When set,
+        the UNet weights are stored in that dtype too (halves their HBM
+        reads per solver step)."""
+        if cfm_dtype is not None:
+            params = dict(params)
+            params["flow"] = dict(params["flow"])
+            params["flow"]["decoder"] = jax.tree.map(
+                lambda l: (l.astype(cfm_dtype)
+                           if hasattr(l, "dtype")
+                           and jnp.issubdtype(l.dtype, jnp.floating) else l),
+                params["flow"]["decoder"])
         self.params = params
         self.meanflow = meanflow
+        self.cfm_dtype = cfm_dtype
         self.tok_cfg = tok_cfg
         self.dims = dims
         self.n_timesteps = n_timesteps or (2 if meanflow else 10)
+        est_dtype = cfm_dtype
 
         @functools.partial(jax.jit,
                            static_argnames=("n_timesteps", "noise_aligned"))
@@ -94,7 +110,7 @@ class S3GenEngine:
                 prompt_len=prompt_len, prompt_feat=prompt_feat,
                 embedding=embedding, key=key, n_timesteps=n_timesteps,
                 meanflow=meanflow, noise=noise, noise_aligned=noise_aligned,
-                dims=dims)
+                dims=dims, est_dtype=est_dtype)
 
         @jax.jit
         def _hift(params, mel, key):
@@ -141,7 +157,8 @@ class S3GenEngine:
                 params["flow"], token=token, token_len=token_len,
                 prompt_len=prompt_len, prompt_feat=prompt_feat,
                 embedding=embedding, key=k_flow, n_timesteps=n_timesteps,
-                meanflow=meanflow, noise=noise, dims=dims)
+                meanflow=meanflow, noise=noise, dims=dims,
+                est_dtype=est_dtype)
             # per-row gen-region extraction (ref: flow.py:196-197): pad so the
             # dynamic_slice is always in-bounds, then mask the tail to the
             # mel floor so prompt-region garbage can't bleed into the vocoder.
@@ -182,7 +199,8 @@ class S3GenEngine:
                 params["flow"], token=token, token_len=token_len,
                 prompt_len=prompt_len, prompt_feat=prompt_feat,
                 embedding=embedding, key=k_flow2, n_timesteps=n_timesteps,
-                meanflow=meanflow, noise=noise, noise_aligned=True, dims=dims)
+                meanflow=meanflow, noise=noise, noise_aligned=True, dims=dims,
+                est_dtype=est_dtype)
             padded = jnp.pad(mels, ((0, 0), (0, mel_bucket), (0, 0)),
                              constant_values=MEL_FLOOR)
             gen = jax.vmap(lambda m, p: jax.lax.dynamic_slice(

@@ -156,11 +156,19 @@ def unet_apply(params: dict, x: jnp.ndarray, mask: jnp.ndarray, mu: jnp.ndarray,
       r:    (B,) meanflow end-time (None for plain flow matching)
     Returns (B, T, 80) velocity.
     """
+    # harmonize to the param dtype (bf16 when the engine's cfm_dtype knob is
+    # set) — internal constructions (sinusoidal emb, masks) would otherwise
+    # promote activations back to fp32 mid-stack
+    pdt = params["time_mlp"]["lin1"]["w"].dtype
+    x, mu, spks, cond = (a.astype(pdt) for a in (x, mu, spks, cond))
+    t = t.astype(pdt)
+    if r is not None:
+        r = r.astype(pdt)
     mask_f = mask.astype(x.dtype)[..., None]          # (B, T, 1)
     key_mask = mask.astype(bool)
 
     def time_mlp(v):
-        e = sinusoidal_time_emb(v, in_channels)
+        e = sinusoidal_time_emb(v, in_channels).astype(pdt)
         e = nn.linear(params["time_mlp"]["lin1"], e)
         return nn.linear(params["time_mlp"]["lin2"], nn.silu(e))
 

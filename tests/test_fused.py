@@ -99,6 +99,22 @@ class TestFusedInference:
         pcm = engine.inference(toks, ref, jax.random.key(4))
         assert np.abs(pcm - f32).max() <= 0.5 / 32767 + 1e-7
 
+    def test_cfm_bf16_optin_close_to_fp32(self, engine, ref):
+        """The bf16-estimator knob (S3GenEngine(cfm_dtype=...)) must stay a
+        perturbation of the fp32 default, not a different animal."""
+        rng = np.random.default_rng(8)
+        toks = rng.integers(0, 6561, (1, 20)).astype(np.int32)
+        eng16 = S3GenEngine(engine.params, meanflow=True,
+                            tok_cfg=S3TokenizerConfig.tiny_test(),
+                            dims=engine.dims, cfm_dtype=jnp.bfloat16)
+        w32 = engine.inference(toks, ref, jax.random.key(11))
+        w16 = eng16.inference(toks, ref, jax.random.key(11))
+        assert w16.shape == w32.shape
+        assert np.isfinite(w16).all()
+        # same RNG realization; bf16 rounding inside the solver only
+        err = np.abs(w16 - w32).max()
+        assert err < 0.2, err
+
     def test_batch_rows_are_isolated(self, engine, ref):
         """Padding rows to a common bucket must not bleed across rows."""
         rng = np.random.default_rng(5)

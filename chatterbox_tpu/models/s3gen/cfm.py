@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...nn import core as nn
 from .unet import unet_apply
 
 SIGMA_MIN = 1e-6
@@ -123,7 +124,7 @@ def cfm_inference(params: dict, mu: jnp.ndarray, mask: jnp.ndarray,
     (ref: flow_matching.py:218-220). `prompt_len` may be a scalar or a (B,)
     array of per-row prompt-mel offsets (heterogeneous batched serving).
     """
-    if key.ndim == 1:   # (B,) per-row keys: row output independent of batch
+    if nn.is_key_batch(key):   # (B,) per-row keys: row output independent of batch
         z = jax.vmap(lambda k: jax.random.normal(k, mu.shape[1:], mu.dtype))(key)
     else:
         z = jax.random.normal(key, mu.shape, mu.dtype)

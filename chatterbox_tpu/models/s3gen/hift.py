@@ -128,7 +128,7 @@ def hift_source(params: dict, key, f0: jnp.ndarray,
     if phase_carry is not None:
         cum = cum + phase_carry[:, None, :]
     theta = 2.0 * jnp.pi * (cum % 1.0)
-    if key.ndim == 1:                                # per-row keys (B,)
+    if nn.is_key_batch(key):                                # per-row keys (B,)
         def draw(k):
             kp, kn = jax.random.split(k)
             p = jax.random.uniform(kp, (1, NB_HARMONICS + 1),

@@ -21,6 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ...nn import core as nn
 from ...audio.mels import mel_spectrogram_24k
 from ...audio.resample import resample
 from .flow import flow_init, flow_inference, FlowDims, TOKEN_MEL_RATIO
@@ -70,6 +71,25 @@ def trim_fade(sr: int = S3GEN_SR) -> np.ndarray:
     fade = np.zeros(2 * n, np.float32)
     fade[n:] = (np.cos(np.linspace(np.pi, 0, n)) + 1) / 2
     return fade
+
+
+
+def pack_prompt_gen(token_rows: list, refs: list):
+    """Pack B requests' [prompt | gen] token rows into one shared bucket.
+
+    Returns (tokens (B, bucket) int32, Ps, Gs, bucket, mel_bucket) — the
+    common front half of every fused-inference entry point (single, batched,
+    streaming). Ref concat: flow.py:161."""
+    B = len(token_rows)
+    Ps = [int(r.prompt_token_len[0]) for r in refs]
+    Gs = [len(np.asarray(t).reshape(-1)) for t in token_rows]
+    bucket = _bucket(max(p + g for p, g in zip(Ps, Gs)), TOKEN_BUCKETS)
+    tokens = np.zeros((B, bucket), np.int32)
+    for i, (r, t) in enumerate(zip(refs, token_rows)):
+        tokens[i, : Ps[i]] = r.prompt_token[0, : Ps[i]]
+        tokens[i, Ps[i]: Ps[i] + Gs[i]] = np.asarray(t).reshape(-1)
+    mel_bucket = _bucket(max(Gs) * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+    return tokens, Ps, Gs, bucket, mel_bucket
 
 
 class S3GenEngine:
@@ -142,7 +162,7 @@ class S3GenEngine:
             B = token.shape[0]
             T_mel = token.shape[1] * TOKEN_MEL_RATIO
             noise = None
-            if key.ndim == 1:      # (B,) per-row keys: per-request noise,
+            if nn.is_key_batch(key):      # (B,) per-row keys: per-request noise,
                                    # row output independent of its batchmates
                 ks = jax.vmap(lambda kk: jax.random.split(kk, 3))(key)
                 k_flow, k_hift = ks[:, 1], ks[:, 2]
@@ -388,14 +408,8 @@ class S3GenEngine:
         vocode after the lookahead trim.
         Returns (wav (1, mel_bucket*480) np, new_cache (device), f0 (1, mel_bucket) np).
         """
-        tokens_all = np.asarray(tokens_all).reshape(1, -1)
-        P = int(ref.prompt_token_len[0])
-        G = tokens_all.shape[1]
-        bucket = _bucket(P + G, TOKEN_BUCKETS)
-        token = np.zeros((1, bucket), np.int32)
-        token[0, :P] = ref.prompt_token[0, :P]
-        token[0, P: P + G] = tokens_all[0]
-        mel_bucket = _bucket(G * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+        token, (P,), (G,), bucket, mel_bucket = pack_prompt_gen(
+            [np.asarray(tokens_all).reshape(-1)], [ref])
         noise = noise_dev[:, : bucket * TOKEN_MEL_RATIO]
         wav, new_cache, f0 = self._fused_stream(
             self.params, jnp.asarray(token), jnp.asarray([P + G]),
@@ -413,14 +427,8 @@ class S3GenEngine:
     def inference(self, speech_tokens: np.ndarray, ref: RefDict, key,
                   n_timesteps: Optional[int] = None) -> np.ndarray:
         """Single fused program (flow→slice→HiFT→fade), one device sync."""
-        speech_tokens = np.asarray(speech_tokens).reshape(1, -1)
-        P = int(ref.prompt_token_len[0])
-        G = speech_tokens.shape[1]
-        bucket = _bucket(P + G, TOKEN_BUCKETS)
-        token = np.zeros((1, bucket), np.int32)
-        token[0, :P] = ref.prompt_token[0, :P]
-        token[0, P: P + G] = speech_tokens[0]
-        mel_bucket = _bucket(G * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+        token, (P,), (G,), _, mel_bucket = pack_prompt_gen(
+            [np.asarray(speech_tokens).reshape(-1)], [ref])
         wav = self._fused(
             self.params, jnp.asarray(token), jnp.asarray([P + G]),
             jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
@@ -458,21 +466,13 @@ class S3GenEngine:
         regardless of batch composition."""
         B = len(token_rows)
         assert B == len(refs) and B >= 1
-        Ps = [int(r.prompt_token_len[0]) for r in refs]
-        Gs = [len(np.asarray(t).reshape(-1)) for t in token_rows]
-        bucket = _bucket(max(p + g for p, g in zip(Ps, Gs)), TOKEN_BUCKETS)
-        tokens = np.zeros((B, bucket), np.int32)
-        for i, (r, t) in enumerate(zip(refs, token_rows)):
-            tokens[i, : Ps[i]] = r.prompt_token[0, : Ps[i]]
-            tokens[i, Ps[i]: Ps[i] + Gs[i]] = np.asarray(t).reshape(-1)
+        tokens, Ps, Gs, _, mel_bucket = pack_prompt_gen(token_rows, refs)
         feat_T = max(r.prompt_feat.shape[1] for r in refs)
         feats = np.zeros((B, feat_T, 80), np.float32)
         for i, r in enumerate(refs):
             feats[i, : r.prompt_feat.shape[1]] = r.prompt_feat[0]
         embs = np.concatenate([r.embedding for r in refs], axis=0)
 
-        mel_bucket = _bucket(max(g * TOKEN_MEL_RATIO for g in Gs),
-                             GEN_MEL_BUCKETS)
         wavs = self._fused(
             self.params, jnp.asarray(tokens),
             jnp.asarray([p + g for p, g in zip(Ps, Gs)]),

@@ -158,6 +158,17 @@ def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+def is_key_batch(key) -> bool:
+    """True iff `key` is a (B,) array of TYPED prng keys (per-row RNG fan-out).
+
+    A legacy uint32 `jax.random.PRNGKey` is shape (2,) with ndim 1 too, so
+    the dtype check is required — legacy keys must take the scalar-key path
+    (they still work with split/normal/uniform)."""
+    import jax.dtypes
+    return key.ndim == 1 and jax.dtypes.issubdtype(key.dtype,
+                                                   jax.dtypes.prng_key)
+
+
 def snake(x, alpha, eps: float = 1e-9):
     """Snake activation x + sin^2(alpha x)/alpha, per-channel alpha.
     x: (B, T, C), alpha: (C,).  (ref: models/s3gen/hifigan.py:73-84)"""

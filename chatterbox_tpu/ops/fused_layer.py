@@ -46,7 +46,8 @@ TW = 512          # kernel B hidden-unit tile (per half; phase covers 2*TW units
 
 
 def _on_tpu() -> bool:
-    return jax.devices()[0].platform in ("tpu", "axon")
+    from . import on_tpu
+    return on_tpu()
 
 
 def _unpack(wp_i8):

@@ -65,7 +65,8 @@ def _int4_matvec_kernel(x_ref, wp_ref, slo_ref, shi_ref, out_ref):
 
 
 def _on_tpu() -> bool:
-    return jax.devices()[0].platform in ("tpu", "axon")
+    from . import on_tpu
+    return on_tpu()
 
 
 def int4_supported(in_dim: int, out_dim: int) -> bool:

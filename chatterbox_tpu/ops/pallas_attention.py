@@ -55,7 +55,8 @@ def _decode_attn_kernel(len_ref, q_ref, k_ref, v_ref, out_ref):
 
 
 def _on_tpu() -> bool:
-    return jax.devices()[0].platform in ("tpu", "axon")
+    from . import on_tpu
+    return on_tpu()
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,14 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     """text_tokens: (B, Lt_bucket) left-aligned int32; text_lens: (B,).
     cond fields batched (B, ...). keys: (B,) jax key array — one per row.
     sp fields: scalar (shared) or (B,) per-request."""
+    if fused_attn:
+        # the pallas decode kernels apply only the pos<=cur upper bound; this
+        # loop's RIGHT-ALIGNED prefixes also need the k>=pad lower bound, so
+        # the kernels would attend the left-pad garbage slots of shorter rows
+        raise ValueError(
+            "fused_attn is not supported in the left-padded batched decode "
+            "loop (the pallas kernels lack lower-bound masking); XLA "
+            "attention is also the faster path at these cache sizes")
     cfg = hp.backbone
     B, Ltp = text_tokens.shape
     Lc = t3m.cond_len(hp)

@@ -232,6 +232,7 @@ class ContinuousTTSServer:
         self._slot_req: list = [None] * n_slots
         self.results: dict = {}             # request_id -> np token array
         self.wavs: dict = {}                # request_id -> waveform (if vocoding)
+        self._voc_pending = None            # (request_ids, dispatch handle)
 
     # ------------------------------------------------------------------
     def submit(self, req) -> None:
@@ -265,30 +266,50 @@ class ContinuousTTSServer:
             )
             self._slot_req[slot] = req
 
+    def _flush_vocode(self):
+        """Fetch the previous round's batched vocode (its compute overlapped
+        this round's decode chunk on the device)."""
+        if self._voc_pending is None:
+            return
+        rids, handle = self._voc_pending
+        self._voc_pending = None
+        for rid, w in zip(rids, self.s3gen.inference_batch_fetch(handle)):
+            self.wavs[rid] = w
+
     def _harvest(self):
         done = np.asarray(self.state.done)
         active = np.asarray(self.state.active)
         finished = [i for i in range(self.n_slots)
                     if active[i] and done[i] and self._slot_req[i] is not None]
+        self._flush_vocode()
         if not finished:
             return []
         steps = np.asarray(self.state.step)
         tokens = np.asarray(self.state.tokens)
-        out = []
+        out, voc_rows, voc_refs, voc_keys, voc_rids = [], [], [], [], []
         for i in finished:
             req = self._slot_req[i]
             t = tokens[i, : steps[i]]
             t = t[t < 6561]                       # strip EOS/specials
             self.results[req.request_id] = t
             if self.s3gen is not None and getattr(req, "ref", None) is not None:
+                voc_rows.append(t if len(t) else np.zeros((1,), np.int32))
+                voc_refs.append(req.ref)
                 self._key, k = jax.random.split(self._key)
-                self.wavs[req.request_id] = self.s3gen.inference(
-                    t[None] if len(t) else np.zeros((1, 1), np.int32),
-                    req.ref, k)[0]
+                voc_keys.append(
+                    jax.random.fold_in(jax.random.key(req.seed), 1)
+                    if getattr(req, "seed", None) is not None else k)
+                voc_rids.append(req.request_id)
             out.append(req.request_id)
             self._slot_req[i] = None
             self.state = self.state._replace(
                 active=self.state.active.at[i].set(False))
+        if voc_rows:
+            # ONE batched dispatch for every request finishing this round;
+            # the fetch is deferred so the next decode chunk isn't stalled
+            handle = self.s3gen.inference_batch_dispatch(
+                voc_rows, voc_refs, jnp.stack(voc_keys))
+            self._voc_pending = (voc_rids, handle)
         return out
 
     def step(self) -> list:
@@ -306,4 +327,6 @@ class ContinuousTTSServer:
             self.step()
             if not self._pending and all(r is None for r in self._slot_req):
                 break
+        if self.s3gen is not None:
+            self._flush_vocode()
         return self.results

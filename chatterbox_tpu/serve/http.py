@@ -83,10 +83,14 @@ class TTSHTTPServer:
 
     # ------------------------------------------------------------------
     def _on_result(self, result):
-        self._results[result.request_id] = result
         ev = self._events.get(result.request_id)
-        if ev is not None:
-            ev.set()
+        if ev is None:
+            return   # caller gave up (timeout) — drop, don't leak the wav
+        self._results[result.request_id] = result
+        ev.set()
+        if result.request_id not in self._events:
+            # caller timed out between the get() above and the store — undo
+            self._results.pop(result.request_id, None)
 
     def synthesize(self, text: str, voice_id: str, seed: Optional[int] = None,
                    **sampler_kw) -> np.ndarray:
@@ -106,6 +110,7 @@ class TTSHTTPServer:
             sampler=sampler, request_id=rid, seed=seed))
         if not ev.wait(self.timeout_s):
             self._events.pop(rid, None)
+            self._results.pop(rid, None)
             raise TimeoutError(f"request {rid} timed out")
         self._events.pop(rid, None)
         result = self._results.pop(rid)

@@ -77,6 +77,10 @@ class StreamingVocoder:
         self.ref = ref
         self.lookahead = lookahead_tokens
         self.window = window_tokens
+        if window_tokens is not None and window_tokens <= lookahead_tokens + 1:
+            raise ValueError(
+                f"window_tokens ({window_tokens}) must exceed "
+                f"lookahead_tokens + 1 ({lookahead_tokens + 1})")
         self.ctx_mel = ctx_mel
         k_flow, k_noise, k_hift = jax.random.split(key, 3)
         self._k_flow = k_flow          # fixed: CFM solve is deterministic given z
@@ -129,14 +133,32 @@ class StreamingVocoder:
 
     # ------------------------------------------------------------------
     def _feed_windowed(self, final: bool) -> np.ndarray:
-        P = int(self.ref.prompt_token_len[0])
+        """May run several window passes when a single feed delivers more
+        tokens than one window can vocode (a feed larger than
+        window - lookahead would otherwise leave a gap: the window start may
+        not pass tokens that haven't been emitted yet)."""
+        chunks = []
         n_tok = self._tokens.shape[1]
-        upto = n_tok if final else n_tok - self.lookahead
-        if upto <= self._emitted_tokens:
-            return np.zeros((0,), np.float32)
+        upto_total = n_tok if final else n_tok - self.lookahead
+        while upto_total > self._emitted_tokens:
+            # window start: never beyond the first un-emitted token
+            t0 = max(0, min(self._emitted_tokens, n_tok - self.window))
+            win_end = min(n_tok, t0 + self.window)
+            # tokens vocodable this pass: the window's lookahead tail is
+            # unreliable unless the window reaches the true stream tip
+            pass_upto = (min(upto_total, win_end) if win_end == n_tok
+                         else min(upto_total, win_end - self.lookahead))
+            assert pass_upto > self._emitted_tokens, \
+                "window_tokens must exceed lookahead + 1"
+            chunks.append(self._vocode_window(t0, win_end, pass_upto))
+        return (np.concatenate(chunks) if chunks
+                else np.zeros((0,), np.float32))
 
-        t0 = max(0, n_tok - self.window)             # window start (abs tokens)
-        win_tokens = self._tokens[:, t0:]
+    def _vocode_window(self, t0: int, win_end: int, upto: int) -> np.ndarray:
+        """Flow over tokens [t0, win_end), vocode frames for
+        [emitted, upto), maintain the mel tail + harmonic phase carry."""
+        P = int(self.ref.prompt_token_len[0])
+        win_tokens = self._tokens[:, t0:win_end]
         # aligned noise for [prompt | window]: prompt noise + gen noise at the
         # window's absolute offset, from the one fixed buffer
         off = 2 * (P + t0)

@@ -9,7 +9,9 @@ TPU mesh:
     collectives from the sharding rules in parallel/mesh.py.
   * layer-wise remat (jax.checkpoint) inside the loss for O(1-layer)
     activation memory during backward.
-  * native safetensors checkpointing (convert/native_ckpt.py) with resume.
+  * native safetensors checkpointing (convert/native_ckpt.py) with full
+    resume: params, Adam moments and the schedule step all restore (the
+    optimizer state is saved as an indexed .npz of its flattened leaves).
 
 The data pipeline here is synthetic (random token batches with realistic
 length distributions) so the example runs anywhere; swap `synthetic_batches`
@@ -72,7 +74,8 @@ def main():
     import jax
     from chatterbox_tpu.models.t3.config import T3Config
     from chatterbox_tpu.parallel.mesh import make_mesh, shard_batch
-    from chatterbox_tpu.parallel.train import build_sharded_train_step
+    from chatterbox_tpu.parallel.train import (TrainState,
+                                               build_sharded_train_step)
     from chatterbox_tpu.convert.native_ckpt import save_pytree, load_pytree
 
     hp = T3Config.tiny_test("llama") if args.tiny else T3Config.turbo()
@@ -86,17 +89,29 @@ def main():
             hp, mesh, lr=args.lr, warmup_steps=args.warmup,
             total_steps=args.steps, clip_norm=args.clip)
         state = init_state(jax.random.key(0))
+        batches = synthetic_batches(hp, args.batch)
         start = 0
         if args.resume and (args.ckpt_dir / "params.safetensors").exists():
             params = load_pytree(args.ckpt_dir / "params.safetensors",
                                  jax.device_get(state.params))
-            state = state._replace(params=jax.device_put(
+            new_params = jax.device_put(
                 params, jax.tree_util.tree_map(lambda l: l.sharding,
-                                               state.params)))
+                                               state.params))
+            opt_state = state.opt_state
+            opt_path = args.ckpt_dir / "opt_state.npz"
+            if opt_path.exists():     # Adam moments + schedule count
+                with np.load(opt_path) as z:
+                    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+                    # leave the loaded leaves uncommitted (plain numpy) —
+                    # the jitted step shards them to match the params
+                    loaded = [z[str(i)] for i in range(len(leaves))]
+                opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
+            state = TrainState(new_params, opt_state)
             start = int(np.load(args.ckpt_dir / "step.npy"))
             print(f"resumed from step {start}")
+            for _ in range(start):    # realign the synthetic data stream
+                next_skip = next(batches)
 
-        batches = synthetic_batches(hp, args.batch)
         t0 = time.perf_counter()
         for i in range(start, args.steps):
             cond, text, tlen, speech, slen = next(batches)
@@ -119,6 +134,10 @@ def main():
                 args.ckpt_dir.mkdir(parents=True, exist_ok=True)
                 save_pytree(jax.device_get(state.params),
                             args.ckpt_dir / "params.safetensors")
+                leaves = jax.tree_util.tree_leaves(
+                    jax.device_get(state.opt_state))
+                np.savez(args.ckpt_dir / "opt_state.npz",
+                         **{str(i_l): l for i_l, l in enumerate(leaves)})
                 np.save(args.ckpt_dir / "step.npy", i + 1)
         print(f"done: {args.steps - start} steps")
 

@@ -115,6 +115,15 @@ class TestFusedInference:
         err = np.abs(w16 - w32).max()
         assert err < 0.2, err
 
+    def test_legacy_uint32_prngkey_accepted(self, engine, ref):
+        """A legacy jax.random.PRNGKey (shape (2,) uint32) must take the
+        scalar-key path, not be misread as a batch of 2 per-row keys."""
+        rng = np.random.default_rng(9)
+        toks = rng.integers(0, 6561, (1, 16)).astype(np.int32)
+        wav = engine.inference(toks, ref, jax.random.PRNGKey(5))
+        assert wav.shape == (1, 16 * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE)
+        assert np.isfinite(wav).all()
+
     def test_batch_rows_are_isolated(self, engine, ref):
         """Padding rows to a common bucket must not bleed across rows."""
         rng = np.random.default_rng(5)

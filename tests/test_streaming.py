@@ -172,6 +172,36 @@ class TestStreamingContinuity:
         assert max(seen_widths) <= 16          # O(window), not O(total)
 
 
+class TestWindowedBigFeeds:
+    def test_feed_larger_than_window_loses_no_audio(self):
+        """Regression: a feed chunk >= window - lookahead used to silently
+        drop the tokens the window start had scrolled past (emitted tokens
+        advanced without vocoding them)."""
+        from chatterbox_tpu.serve import streaming as SS
+        eng = _tiny_engine(seed=6)
+        rng = np.random.default_rng(7)
+        ref = eng.embed_ref((rng.standard_normal(24000) * 0.1).astype(np.float32),
+                            24000)
+        voc = SS.StreamingVocoder(eng, ref, jax.random.key(17),
+                                  window_tokens=16)
+        tokens = rng.integers(0, 6561, 64).astype(np.int32)
+        out = []
+        for i in range(4):                      # 16-token feeds == window
+            out.append(voc.feed(tokens[i * 16: (i + 1) * 16], final=(i == 3)))
+        stream = np.concatenate(out)
+        assert len(stream) == 64 * 2 * 480      # every token vocoded
+        assert np.isfinite(stream).all()
+
+    def test_window_must_exceed_lookahead(self):
+        from chatterbox_tpu.serve import streaming as SS
+        eng = _tiny_engine(seed=6)
+        rng = np.random.default_rng(8)
+        ref = eng.embed_ref((rng.standard_normal(24000) * 0.1).astype(np.float32),
+                            24000)
+        with pytest.raises(ValueError):
+            SS.StreamingVocoder(eng, ref, jax.random.key(1), window_tokens=4)
+
+
 class TestStreamingPipeline:
     def test_generate_stream_yields_audio(self):
         class FakeTok:

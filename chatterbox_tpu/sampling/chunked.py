@@ -142,3 +142,62 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
               jnp.zeros((), jnp.int32))
     f = jax.lax.while_loop(cond_fn, body_fn, init)
     return f.st, f.out, f.n_new
+
+
+@functools.partial(jax.jit, static_argnames=("new_t_max",),
+                   donate_argnames=("state",))
+def grow_cache(state: DecodeState, *, new_t_max: int) -> DecodeState:
+    """Pad the KV cache's time axis to `new_t_max` (bucketed cache growth)."""
+    k, v = state.cache.k, state.cache.v
+    pad = new_t_max - k.shape[3]
+    assert pad >= 0
+    spec = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+    return state._replace(cache=bb.KVCache(jnp.pad(k, spec), jnp.pad(v, spec)))
+
+
+def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
+                         text_tokens: jnp.ndarray, text_len: jnp.ndarray,
+                         sp: S.SamplerParams, key,
+                         *, max_new_tokens: int = 1000, top_k: int = 1000,
+                         cfg_mode: bool = True, ignore_eos: bool = False,
+                         first_segment: int = 64):
+    """One-shot-equivalent generation with a geometrically growing KV cache.
+
+    sampling/decode.t3_generate allocates the cache at P_pad+max_new_tokens
+    up front, so every decode step's attention reads the full static buffer
+    even early in the sequence (xplane trace: at max_new=1000 the full-size
+    cache read costs ~0.13 ms/step of the ~1.0 ms step). Here decode runs in
+    doubling segments (64, 128, 256, ...) with the cache padded between
+    segments; attention reads O(current bucket). All segment dispatches are
+    async (no host sync until the caller fetches), EOS exits propagate
+    through `state.done` (later segments no-op), and the token stream is
+    IDENTICAL to the one-shot program (the per-step RNG chain lives in
+    DecodeState — pinned by tests/test_streaming.py chunk parity).
+
+    Returns (tokens (max_new_tokens,), n_tokens ()) like decode.GenResult.
+    """
+    segs = []
+    left, s = max_new_tokens, first_segment
+    while left > 0:
+        n = min(s, left)
+        segs.append(n)
+        left -= n
+        s *= 2
+    state = t3_prefill(params, hp, cond, text_tokens, text_len, key,
+                       max_new_tokens=segs[0], cfg_mode=cfg_mode)
+    Lc = t3m.cond_len(hp)
+    P_pad = Lc + text_tokens.shape[1] + 1
+    cap = segs[0]
+    outs = []
+    n_total = jnp.zeros((), jnp.int32)
+    for i, n in enumerate(segs):
+        if i > 0:
+            cap += n
+            state = grow_cache(state, new_t_max=P_pad + cap)
+        state, toks, nn = t3_decode_chunk(
+            params, hp, state, sp, n_steps=n, top_k=top_k,
+            cfg_mode=cfg_mode, ignore_eos=ignore_eos)
+        outs.append(toks)
+        n_total = n_total + nn
+    from .decode import GenResult
+    return GenResult(tokens=jnp.concatenate(outs), n_tokens=n_total)

@@ -223,3 +223,53 @@ class TestStreamingPipeline:
         total = np.concatenate(chunks)
         assert np.isfinite(total).all()
         assert len(total) > 0
+
+
+class TestBucketedGenerate:
+    """t3_generate_bucketed must produce the one-shot program's exact token
+    stream (same RNG chain) while growing the cache in segments."""
+
+    def _setup(self, family):
+        hp = T3Config.tiny_test(family)
+        params = t3m.t3_init(jax.random.key(0), hp)
+        cond = t3m.T3CondArrays(
+            speaker_emb=jnp.zeros((1, 256)),
+            cond_prompt_speech_tokens=jnp.zeros(
+                (1, hp.speech_cond_prompt_len), jnp.int32),
+            emotion_adv=(0.5 * jnp.ones((1, 1, 1))
+                         if hp.emotion_adv else None))
+        text = jnp.ones((1, 8), jnp.int32)
+        return hp, params, cond, text
+
+    def test_matches_one_shot_turbo(self):
+        from chatterbox_tpu.sampling.chunked import t3_generate_bucketed
+        from chatterbox_tpu.ops.sampling import SamplerParams
+        hp, params, cond, text = self._setup("gpt2")
+        sp = SamplerParams.make(temperature=0.8, top_p=0.95,
+                                repetition_penalty=1.2, cfg_weight=0.0)
+        kw = dict(max_new_tokens=11, top_k=40, cfg_mode=False,
+                  ignore_eos=True)
+        one = t3_generate(params, hp, cond, text, jnp.asarray(8), sp,
+                          jax.random.key(3), **kw)
+        buck = t3_generate_bucketed(params, hp, cond, text, jnp.asarray(8),
+                                    sp, jax.random.key(3), first_segment=4,
+                                    **kw)
+        np.testing.assert_array_equal(np.asarray(one.tokens),
+                                      np.asarray(buck.tokens))
+        assert int(one.n_tokens) == int(buck.n_tokens)
+
+    def test_matches_one_shot_cfg_with_eos(self):
+        from chatterbox_tpu.sampling.chunked import t3_generate_bucketed
+        from chatterbox_tpu.ops.sampling import SamplerParams
+        hp, params, cond, text = self._setup("llama")
+        sp = SamplerParams.make(temperature=0.8, top_p=1.0, min_p=0.02,
+                                repetition_penalty=1.2, cfg_weight=0.5)
+        kw = dict(max_new_tokens=12, cfg_mode=True, ignore_eos=False)
+        one = t3_generate(params, hp, cond, text, jnp.asarray(8), sp,
+                          jax.random.key(5), top_k=0, **kw)
+        buck = t3_generate_bucketed(params, hp, cond, text, jnp.asarray(8),
+                                    sp, jax.random.key(5), first_segment=5,
+                                    **kw)
+        np.testing.assert_array_equal(np.asarray(one.tokens),
+                                      np.asarray(buck.tokens))
+        assert int(one.n_tokens) == int(buck.n_tokens)

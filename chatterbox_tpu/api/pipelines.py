@@ -360,10 +360,21 @@ class ChatterboxTurboTTS(_TTSBase):
 
         sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
                                 repetition_penalty=repetition_penalty, cfg_weight=0.0)
-        res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
-                          jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
-                          self._next_key(), max_new_tokens=max_new_tokens,
-                          top_k=top_k, cfg_mode=False)
+        if max_new_tokens >= 384:
+            # long budgets: bucketed cache growth — attention reads O(actual
+            # length), not O(P+max_new); token stream identical to one-shot
+            # (+15 % at the reference's default 1000-token cap)
+            from ..sampling.chunked import t3_generate_bucketed
+            res = t3_generate_bucketed(
+                self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
+                self._next_key(), max_new_tokens=max_new_tokens,
+                top_k=top_k, cfg_mode=False)
+        else:
+            res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                              jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
+                              self._next_key(), max_new_tokens=max_new_tokens,
+                              top_k=top_k, cfg_mode=False)
         n = int(res.n_tokens)
         tokens = np.asarray(res.tokens)[:n]
         tokens = tokens[tokens < SPEECH_VOCAB_SIZE]          # ref: tts_turbo.py:308

@@ -144,10 +144,11 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
     return f.st, f.out, f.n_new
 
 
-@functools.partial(jax.jit, static_argnames=("new_t_max",),
-                   donate_argnames=("state",))
+@functools.partial(jax.jit, static_argnames=("new_t_max",))
 def grow_cache(state: DecodeState, *, new_t_max: int) -> DecodeState:
-    """Pad the KV cache's time axis to `new_t_max` (bucketed cache growth)."""
+    """Pad the KV cache's time axis to `new_t_max` (bucketed cache growth).
+    No donation: the grown cache has a different shape, so the input
+    buffers can't be reused anyway (donating only produces warnings)."""
     k, v = state.cache.k, state.cache.v
     pad = new_t_max - k.shape[3]
     assert pad >= 0

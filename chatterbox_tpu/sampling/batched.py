@@ -20,6 +20,12 @@ Multi-tenant semantics:
   * cfg_mode=True runs the 520M CFG family (ref loop: t3.py:338-386) as
     2B rows — cond rows [0,B), uncond rows [B,2B) with zeroed text embeds
     (ref: t3.py:113-114) — with the rep→temp→min_p→top_p chain per row.
+
+Structure: `t3_prefill_batched` + `t3_decode_chunk_batched` are the engine;
+`t3_generate_batched` (one chunk covering the whole budget) and
+`t3_generate_batched_bucketed` (doubling segments with cache growth — the
+serving default, attention reads O(actual length)) are thin drivers over
+them and produce IDENTICAL token streams (same per-step RNG chain).
 """
 from __future__ import annotations
 
@@ -40,21 +46,20 @@ class BatchGenResult(NamedTuple):
     n_tokens: jnp.ndarray  # (B,) int32 per-row counts (incl. EOS)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "ignore_eos",
-                     "fused_attn"),
-)
-def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
-                        text_tokens: jnp.ndarray, text_lens: jnp.ndarray,
-                        sp: S.SamplerParams, keys,
-                        *, max_new_tokens: int = 1000, top_k: int = 1000,
-                        cfg_mode: bool = False,
-                        ignore_eos: bool = False,
-                        fused_attn: bool = False) -> BatchGenResult:
-    """text_tokens: (B, Lt_bucket) left-aligned int32; text_lens: (B,).
-    cond fields batched (B, ...). keys: (B,) jax key array — one per row.
-    sp fields: scalar (shared) or (B,) per-request."""
+class BatchDecodeState(NamedTuple):
+    step: jnp.ndarray         # () tokens generated so far
+    logits: jnp.ndarray       # (Bp, V) logits at the current position
+    cache: bb.KVCache
+    seen: jnp.ndarray         # (B, V) repetition history
+    tokens: jnp.ndarray       # (B, max_new) output buffer
+    n: jnp.ndarray            # (B,) per-row counts
+    done: jnp.ndarray         # (B,)
+    keys: jnp.ndarray         # (B,) key array
+    pad: jnp.ndarray          # (Bp,) left-pad per physical row
+    prefix_lens: jnp.ndarray  # (Bp,) dense prefix length per physical row
+
+
+def _check_fused_attn(fused_attn: bool):
     if fused_attn:
         # the pallas decode kernels apply only the pos<=cur upper bound; this
         # loop's RIGHT-ALIGNED prefixes also need the k>=pad lower bound, so
@@ -63,16 +68,23 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
             "fused_attn is not supported in the left-padded batched decode "
             "loop (the pallas kernels lack lower-bound masking); XLA "
             "attention is also the faster path at these cache sizes")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "t_cap", "max_new_tokens", "cfg_mode"))
+def t3_prefill_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
+                       text_tokens: jnp.ndarray, text_lens: jnp.ndarray,
+                       keys,
+                       *, t_cap: int, max_new_tokens: int,
+                       cfg_mode: bool = False) -> BatchDecodeState:
+    """Run the right-aligned batched prefix; cache allocated at `t_cap`
+    slots (the output token buffer is always (B, max_new_tokens))."""
     cfg = hp.backbone
     B, Ltp = text_tokens.shape
     Lc = t3m.cond_len(hp)
     P_pad = Lc + Ltp + 1
-    t_max = P_pad + max_new_tokens
     V = hp.speech_tokens_dict_size
-    Bp = 2 * B if cfg_mode else B          # physical rows in the forward
-
-    # normalize sampler fields to (B|1, 1) so they broadcast over (B, V)
-    sp = S.SamplerParams(*[jnp.asarray(v, jnp.float32).reshape(-1, 1) for v in sp])
 
     ce = t3m.cond_embeds(params, hp, cond)                      # (B, Lc, D)
     te = jnp.take(params["text_emb"]["w"], text_tokens, axis=0)
@@ -82,6 +94,7 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         # uncond half: same cond prefix, zeroed text embeds (ref: t3.py:113-114)
         ce = jnp.concatenate([ce, ce], axis=0)
         te = jnp.concatenate([te, jnp.zeros_like(te)], axis=0)
+    Bp = 2 * B if cfg_mode else B
     bos = t3m.speech_embed_token(
         params, hp, jnp.full((Bp,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))
@@ -102,10 +115,10 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     slot = jnp.arange(P_pad)[None]                              # (1, P_pad)
     positions = jnp.maximum(slot - pad[:, None], 0)
 
-    cache = bb.KVCache.zeros(cfg, Bp, t_max, dtype=jnp.bfloat16)
+    cache = bb.KVCache.zeros(cfg, Bp, t_cap, dtype=jnp.bfloat16)
     # causal + left-pad mask: query q attends key k iff pad[b] <= k <= q
     q_pos = jnp.arange(P_pad)[:, None]
-    k_pos = jnp.arange(t_max)[None, :]
+    k_pos = jnp.arange(t_cap)[None, :]
     mask = ((k_pos <= q_pos) & (k_pos[None] >= pad[:, None, None]))[:, None]
     hidden, cache = bb.backbone_apply_unrolled(
         params["backbone"], cfg, x, positions, cache,
@@ -118,25 +131,45 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     seen0 = (jnp.broadcast_to(start_onehot[None], (B, V)) if cfg_mode
              else jnp.zeros((B, V), jnp.bool_))
 
-    class _St(NamedTuple):
-        step: jnp.ndarray
-        logits: jnp.ndarray       # (Bp, V)
-        cache: bb.KVCache
-        seen: jnp.ndarray         # (B, V)
-        tokens: jnp.ndarray       # (B, max_new)
-        n: jnp.ndarray            # (B,)
-        done: jnp.ndarray         # (B,)
-        keys: jnp.ndarray         # (B,) key array
+    return BatchDecodeState(
+        step=jnp.zeros((), jnp.int32), logits=logits0, cache=cache,
+        seen=seen0,
+        tokens=jnp.full((B, max_new_tokens), hp.stop_speech_token, jnp.int32),
+        n=jnp.zeros((B,), jnp.int32), done=jnp.zeros((B,), jnp.bool_),
+        keys=keys, pad=pad, prefix_lens=prefix_lens)
 
-    init = _St(jnp.zeros((), jnp.int32), logits0, cache, seen0,
-               jnp.full((B, max_new_tokens), hp.stop_speech_token, jnp.int32),
-               jnp.zeros((B,), jnp.int32),
-               jnp.zeros((B,), jnp.bool_), keys)
 
-    def cond_fn(s):
-        return (s.step < max_new_tokens) & ~jnp.all(s.done)
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "n_steps", "top_k", "cfg_mode", "ignore_eos"),
+    donate_argnames=("state",))
+def t3_decode_chunk_batched(params: dict, hp: T3Config,
+                            state: BatchDecodeState, sp: S.SamplerParams,
+                            *, n_steps: int, top_k: int = 1000,
+                            cfg_mode: bool = False,
+                            ignore_eos: bool = False) -> BatchDecodeState:
+    """Advance the batch by up to n_steps tokens (stops early when every row
+    is done or the output buffer fills)."""
+    cfg = hp.backbone
+    B, max_new = state.tokens.shape
+    V = hp.speech_tokens_dict_size
+    t_cap = state.cache.k.shape[3]
+    start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
 
-    def body_fn(s):
+    # normalize sampler fields to (B|1, 1) so they broadcast over (B, V)
+    sp = S.SamplerParams(*[jnp.asarray(v, jnp.float32).reshape(-1, 1) for v in sp])
+    P_pad = state.pad[0] + state.prefix_lens[0]   # slot count (same per row)
+
+    class _C(NamedTuple):
+        i: jnp.ndarray
+        st: BatchDecodeState
+
+    def cond_fn(c):
+        return ((c.i < n_steps) & (c.st.step < max_new)
+                & ~jnp.all(c.st.done))
+
+    def body_fn(c):
+        s = c.st
         pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(s.keys)
         keys_next, subs = pairs[:, 0], pairs[:, 1]
         if cfg_mode:
@@ -152,7 +185,8 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
         active = ~s.done
         tokens = s.tokens.at[jnp.arange(B), s.step].set(
             jnp.where(active, token, hp.stop_speech_token))
-        seen = s.seen.at[jnp.arange(B), token].set(active | s.seen[jnp.arange(B), token])
+        seen = s.seen.at[jnp.arange(B), token].set(
+            active | s.seen[jnp.arange(B), token])
         n = jnp.where(active, s.step + 1, s.n)
         if ignore_eos:
             done = s.done
@@ -161,15 +195,90 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
 
         token_p = jnp.tile(token, 2) if cfg_mode else token
         emb = t3m.speech_embed_token(params, hp, token_p, s.step + 1)
-        slot_now = P_pad + s.step                                    # shared slot
-        pos_rows = prefix_lens + s.step                              # per-row position
-        k_pos = jnp.arange(t_max)[None, :]
-        kv_mask = ((k_pos <= slot_now) & (k_pos >= pad[:, None]))[:, None, None]
+        slot_now = P_pad + s.step                                # shared slot
+        pos_rows = s.prefix_lens + s.step                        # per-row position
+        k_pos = jnp.arange(t_cap)[None, :]
+        kv_mask = ((k_pos <= slot_now)
+                   & (k_pos >= s.pad[:, None]))[:, None, None]
         hidden, cache = bb.backbone_apply_unrolled(
             params["backbone"], cfg, emb, pos_rows[:, None], s.cache,
-            slot_now, kv_mask, fused_attn=fused_attn)
+            slot_now, kv_mask)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
-        return _St(s.step + 1, logits_new, cache, seen, tokens, n, done, keys_next)
+        st = BatchDecodeState(s.step + 1, logits_new, cache, seen, tokens,
+                              n, done, keys_next, s.pad, s.prefix_lens)
+        return _C(c.i + 1, st)
 
-    f = jax.lax.while_loop(cond_fn, body_fn, init)
-    return BatchGenResult(tokens=f.tokens, n_tokens=f.n)
+    f = jax.lax.while_loop(cond_fn, body_fn,
+                           _C(jnp.zeros((), jnp.int32), state))
+    return f.st
+
+
+@functools.partial(jax.jit, static_argnames=("new_t_cap",))
+def grow_cache_batched(state: BatchDecodeState,
+                       *, new_t_cap: int) -> BatchDecodeState:
+    """Pad the batched KV cache's time axis (bucketed cache growth)."""
+    k, v = state.cache.k, state.cache.v
+    pad = new_t_cap - k.shape[3]
+    assert pad >= 0
+    spec = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+    return state._replace(cache=bb.KVCache(jnp.pad(k, spec), jnp.pad(v, spec)))
+
+
+def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
+                        text_tokens: jnp.ndarray, text_lens: jnp.ndarray,
+                        sp: S.SamplerParams, keys,
+                        *, max_new_tokens: int = 1000, top_k: int = 1000,
+                        cfg_mode: bool = False,
+                        ignore_eos: bool = False,
+                        fused_attn: bool = False) -> BatchGenResult:
+    """text_tokens: (B, Lt_bucket) left-aligned int32; text_lens: (B,).
+    cond fields batched (B, ...). keys: (B,) jax key array — one per row.
+    sp fields: scalar (shared) or (B,) per-request."""
+    _check_fused_attn(fused_attn)
+    Lc = t3m.cond_len(hp)
+    P_pad = Lc + text_tokens.shape[1] + 1
+    state = t3_prefill_batched(params, hp, cond, text_tokens, text_lens,
+                               keys, t_cap=P_pad + max_new_tokens,
+                               max_new_tokens=max_new_tokens,
+                               cfg_mode=cfg_mode)
+    state = t3_decode_chunk_batched(params, hp, state, sp,
+                                    n_steps=max_new_tokens, top_k=top_k,
+                                    cfg_mode=cfg_mode, ignore_eos=ignore_eos)
+    return BatchGenResult(tokens=state.tokens, n_tokens=state.n)
+
+
+def t3_generate_batched_bucketed(params: dict, hp: T3Config,
+                                 cond: t3m.T3CondArrays,
+                                 text_tokens: jnp.ndarray,
+                                 text_lens: jnp.ndarray,
+                                 sp: S.SamplerParams, keys,
+                                 *, max_new_tokens: int = 1000,
+                                 top_k: int = 1000, cfg_mode: bool = False,
+                                 ignore_eos: bool = False,
+                                 first_segment: int = 64) -> BatchGenResult:
+    """Like t3_generate_batched but with doubling decode segments and cache
+    growth between them — attention reads O(actual length) instead of
+    O(P+max_new) (the dominant batched-step cost at the 1000-token serving
+    default). Token streams are identical; all dispatches are async."""
+    segs = []
+    left, s = max_new_tokens, first_segment
+    while left > 0:
+        n = min(s, left)
+        segs.append(n)
+        left -= n
+        s *= 2
+    Lc = t3m.cond_len(hp)
+    P_pad = Lc + text_tokens.shape[1] + 1
+    state = t3_prefill_batched(params, hp, cond, text_tokens, text_lens,
+                               keys, t_cap=P_pad + segs[0],
+                               max_new_tokens=max_new_tokens,
+                               cfg_mode=cfg_mode)
+    cap = segs[0]
+    for i, n in enumerate(segs):
+        if i > 0:
+            cap += n
+            state = grow_cache_batched(state, new_t_cap=P_pad + cap)
+        state = t3_decode_chunk_batched(params, hp, state, sp, n_steps=n,
+                                        top_k=top_k, cfg_mode=cfg_mode,
+                                        ignore_eos=ignore_eos)
+    return BatchGenResult(tokens=state.tokens, n_tokens=state.n)

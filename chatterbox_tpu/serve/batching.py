@@ -108,11 +108,21 @@ class BatchDecoder:
         )
         sp = self._stack_samplers(requests)
         keys = self._row_keys(requests)
-        res = t3_generate_batched(
-            self.t3_params, self.hp, cond, jnp.asarray(text),
-            jnp.asarray(lens, jnp.int32), sp, keys,
-            max_new_tokens=self.max_new_tokens, top_k=self.top_k,
-            cfg_mode=self.cfg)
+        if self.max_new_tokens >= 384:
+            # serving default budgets: bucketed cache growth (attention
+            # reads O(actual length)); token-identical to the one-shot loop
+            from ..sampling.batched import t3_generate_batched_bucketed
+            res = t3_generate_batched_bucketed(
+                self.t3_params, self.hp, cond, jnp.asarray(text),
+                jnp.asarray(lens, jnp.int32), sp, keys,
+                max_new_tokens=self.max_new_tokens, top_k=self.top_k,
+                cfg_mode=self.cfg)
+        else:
+            res = t3_generate_batched(
+                self.t3_params, self.hp, cond, jnp.asarray(text),
+                jnp.asarray(lens, jnp.int32), sp, keys,
+                max_new_tokens=self.max_new_tokens, top_k=self.top_k,
+                cfg_mode=self.cfg)
         return (res, requests)
 
     def decode_batch_fetch(self, handle) -> list[TTSResult]:

@@ -269,3 +269,41 @@ class TestBatchedS3Gen:
         assert len(wavs) == 3
         for w in wavs:
             assert np.isfinite(w).all() and len(w) > 0
+
+
+class TestBatchedBucketed:
+    def test_matches_one_shot(self):
+        """t3_generate_batched_bucketed must reproduce t3_generate_batched
+        row-for-row (same per-row RNG chains across segment boundaries)."""
+        from chatterbox_tpu.sampling.batched import (
+            t3_generate_batched, t3_generate_batched_bucketed)
+        from chatterbox_tpu.models.t3.config import T3Config
+        from chatterbox_tpu.models.t3 import model as t3m
+        from chatterbox_tpu.ops.sampling import SamplerParams
+        import jax.numpy as jnp
+
+        for family, cfg_mode in (("gpt2", False), ("llama", True)):
+            hp = T3Config.tiny_test(family)
+            params = t3m.t3_init(jax.random.key(0), hp)
+            B = 3
+            cond = t3m.T3CondArrays(
+                speaker_emb=jnp.zeros((B, 256)),
+                cond_prompt_speech_tokens=jnp.zeros(
+                    (B, hp.speech_cond_prompt_len), jnp.int32),
+                emotion_adv=(0.5 * jnp.ones((B, 1, 1))
+                             if hp.emotion_adv else None))
+            text = jnp.tile(jnp.arange(1, 9, dtype=jnp.int32)[None], (B, 1))
+            lens = jnp.asarray([8, 5, 7], jnp.int32)
+            sp = SamplerParams.make(cfg_weight=0.5 if cfg_mode else 0.0)
+            keys = jax.random.split(jax.random.key(4), B)
+            kw = dict(max_new_tokens=11, top_k=0 if cfg_mode else 40,
+                      cfg_mode=cfg_mode, ignore_eos=False)
+            one = t3_generate_batched(params, hp, cond, text, lens, sp,
+                                      keys, **kw)
+            buck = t3_generate_batched_bucketed(params, hp, cond, text, lens,
+                                                sp, keys, first_segment=4,
+                                                **kw)
+            np.testing.assert_array_equal(np.asarray(one.tokens),
+                                          np.asarray(buck.tokens), family)
+            np.testing.assert_array_equal(np.asarray(one.n_tokens),
+                                          np.asarray(buck.n_tokens), family)

@@ -282,24 +282,30 @@ def main():
     # optional subset selection for local iteration: `python bench.py ttfa ...`
     if len(sys.argv) > 1:
         extras = [(n, f) for n, f in extras if n in sys.argv[1:]]
+    # emit the primary immediately (a killed run still carries it), then
+    # each extra as soon as it's measured, then the primary again LAST
+    # (the driver parses the final JSON line)
+    _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
+          results["turbo_xrt"] / 20.0)
+    emitters = {
+        "ttfa": lambda: _emit("ttfa_ms", results["ttfa_ms"], "ms",
+                              200.0 / results["ttfa_ms"]),
+        "batch8": lambda: _emit("batch8_xrt", results["batch8_xrt"],
+                                "x_realtime_aggregate",
+                                results["batch8_xrt"] / 20.0),
+        "cfg520": lambda: _emit("cfg520_xrt", results["cfg520_xrt"],
+                                "x_realtime", results["cfg520_xrt"] / 10.0),
+    }
     for name, fn in extras:
         if _elapsed() > BUDGET_S:
             _log(f"time budget exceeded ({_elapsed():.0f}s) — skipping {name}")
             continue
         try:
             fn()
+            emitters[name]()
         except Exception as e:          # never lose the primary metric
             _log(f"{name} benchmark failed: {e!r}")
 
-    if "ttfa_ms" in results:
-        _emit("ttfa_ms", results["ttfa_ms"], "ms", 200.0 / results["ttfa_ms"])
-    if "batch8_xrt" in results:
-        _emit("batch8_xrt", results["batch8_xrt"], "x_realtime_aggregate",
-              results["batch8_xrt"] / 20.0)
-    if "cfg520_xrt" in results:
-        _emit("cfg520_xrt", results["cfg520_xrt"], "x_realtime",
-              results["cfg520_xrt"] / 10.0)
-    # primary metric LAST (the driver parses the final JSON line)
     _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
           results["turbo_xrt"] / 20.0)
 

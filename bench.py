@@ -15,10 +15,12 @@ FLOPs/shapes to the published checkpoints):
 Axon quirk: block_until_ready is a no-op over the relay — all timings fetch
 values (np.asarray) to force completion.
 
-Prints one JSON line per metric; the LAST line is the primary turbo_xrt
-(the driver parses the final line). Extra metrics are individually guarded:
-a failure or the soft time budget (CHATTERBOX_BENCH_BUDGET_S, default 540 s)
-skips the rest but never loses turbo_xrt.
+Prints one JSON line per metric. The primary turbo_xrt is printed first
+and RE-PRINTED after every extra, so the LAST stdout line is always
+turbo_xrt (the driver parses the final line) at any termination point.
+Extra metrics are individually guarded: a failure or the soft time budget
+(CHATTERBOX_BENCH_BUDGET_S, default 540 s) skips the rest but never loses
+turbo_xrt.
 """
 import json
 import os
@@ -305,9 +307,9 @@ def main():
             emitters[name]()
         except Exception as e:          # never lose the primary metric
             _log(f"{name} benchmark failed: {e!r}")
-
-    _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
-          results["turbo_xrt"] / 20.0)
+        # keep the final-line-is-primary contract at any kill point
+        _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
+              results["turbo_xrt"] / 20.0)
 
 
 if __name__ == "__main__":

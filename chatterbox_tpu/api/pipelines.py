@@ -360,11 +360,12 @@ class ChatterboxTurboTTS(_TTSBase):
 
         sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
                                 repetition_penalty=repetition_penalty, cfg_weight=0.0)
-        if max_new_tokens >= 384:
+        from ..sampling.chunked import (BUCKETED_DECODE_THRESHOLD,
+                                        t3_generate_bucketed)
+        if max_new_tokens >= BUCKETED_DECODE_THRESHOLD:
             # long budgets: bucketed cache growth — attention reads O(actual
             # length), not O(P+max_new); token stream identical to one-shot
             # (+15 % at the reference's default 1000-token cap)
-            from ..sampling.chunked import t3_generate_bucketed
             res = t3_generate_bucketed(
                 self.t3_params, self.hp, self.conds.t3.as_arrays(),
                 jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,

@@ -144,6 +144,25 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
     return f.st, f.out, f.n_new
 
 
+# measured crossover (v5e, GPT2-medium int8-fused): bucketed wins above
+# ~384 generated tokens (1326 vs 1279 tok/s at 250; 1112 vs 966 at 1000) —
+# shared by the pipeline and serving-loop dispatch sites
+BUCKETED_DECODE_THRESHOLD = 384
+
+
+def segment_schedule(max_new_tokens: int, first_segment: int) -> list:
+    """Doubling decode-segment lengths summing to max_new_tokens."""
+    if first_segment < 1:
+        raise ValueError(f"first_segment must be >= 1, got {first_segment}")
+    segs, left, s = [], max_new_tokens, first_segment
+    while left > 0:
+        n = min(s, left)
+        segs.append(n)
+        left -= n
+        s *= 2
+    return segs
+
+
 @functools.partial(jax.jit, static_argnames=("new_t_max",))
 def grow_cache(state: DecodeState, *, new_t_max: int) -> DecodeState:
     """Pad the KV cache's time axis to `new_t_max` (bucketed cache growth).
@@ -177,13 +196,11 @@ def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
 
     Returns (tokens (max_new_tokens,), n_tokens ()) like decode.GenResult.
     """
-    segs = []
-    left, s = max_new_tokens, first_segment
-    while left > 0:
-        n = min(s, left)
-        segs.append(n)
-        left -= n
-        s *= 2
+    from .decode import GenResult
+    if max_new_tokens <= 0:
+        return GenResult(tokens=jnp.zeros((0,), jnp.int32),
+                         n_tokens=jnp.zeros((), jnp.int32))
+    segs = segment_schedule(max_new_tokens, first_segment)
     state = t3_prefill(params, hp, cond, text_tokens, text_len, key,
                        max_new_tokens=segs[0], cfg_mode=cfg_mode)
     Lc = t3m.cond_len(hp)
@@ -200,5 +217,4 @@ def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
             cfg_mode=cfg_mode, ignore_eos=ignore_eos)
         outs.append(toks)
         n_total = n_total + nn
-    from .decode import GenResult
     return GenResult(tokens=jnp.concatenate(outs), n_tokens=n_total)

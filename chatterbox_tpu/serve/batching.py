@@ -108,7 +108,8 @@ class BatchDecoder:
         )
         sp = self._stack_samplers(requests)
         keys = self._row_keys(requests)
-        if self.max_new_tokens >= 384:
+        from ..sampling.chunked import BUCKETED_DECODE_THRESHOLD
+        if self.max_new_tokens >= BUCKETED_DECODE_THRESHOLD:
             # serving default budgets: bucketed cache growth (attention
             # reads O(actual length)); token-identical to the one-shot loop
             from ..sampling.batched import t3_generate_batched_bucketed

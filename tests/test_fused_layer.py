@@ -377,3 +377,54 @@ class TestInt8Fused:
         assert np.isfinite(np.asarray(r_f.tokens)).all()
         np.testing.assert_array_equal(np.asarray(r_f.tokens),
                                       np.asarray(r_u.tokens))
+
+
+class TestLargeTiles:
+    """Pin the 1024-wide tile branch of _qkv_tiles — the configuration the
+    real models (D=1024) actually take (interpret mode)."""
+
+    def test_ln_qkv_int8_d1024(self):
+        from chatterbox_tpu.ops.fused_layer import (ln_qkv_int8,
+                                                    _layer_norm_f32,
+                                                    _qkv_tiles)
+        from chatterbox_tpu.utils.quantize import quantize_linear_weight
+        D1 = 1024
+        assert _qkv_tiles(D1, 3 * D1) == (1024, 1024)
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.standard_normal((2, D1)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((D1, 3 * D1)).astype(np.float32)) * 0.02
+        b = jnp.asarray(rng.standard_normal((3 * D1,)).astype(np.float32)) * 0.01
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D1).astype(np.float32))
+        be = jnp.asarray(0.1 * rng.standard_normal(D1).astype(np.float32))
+        w_q, s = quantize_linear_weight(w)
+        bc = lambda v: jnp.broadcast_to(v[None], (8, v.shape[0]))
+        out = ln_qkv_int8(x, bc(g), bc(be), w_q, bc(s), bc(b), eps=EPS)
+        y = _layer_norm_f32(x.astype(jnp.float32), g[None], be[None], EPS)
+        ref = jax.lax.dot_general(
+            y.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * s[None] + b[None]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_rms_qkv_int8_d1024(self):
+        from chatterbox_tpu.ops.fused_layer import (rms_qkv_int8,
+                                                    _rms_norm_f32)
+        from chatterbox_tpu.utils.quantize import quantize_linear_weight
+        D1 = 1024
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((2, D1)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((D1, 3 * D1)).astype(np.float32)) * 0.02
+        g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D1).astype(np.float32))
+        w_q, s = quantize_linear_weight(w)
+        bc = lambda v: jnp.broadcast_to(v[None], (8, v.shape[0]))
+        out = rms_qkv_int8(x, bc(g), w_q, bc(s), eps=EPS)
+        y = _rms_norm_f32(x.astype(jnp.float32), g[None], EPS)
+        ref = jax.lax.dot_general(
+            y.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * s[None]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)

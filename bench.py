@@ -19,7 +19,7 @@ Prints one JSON line per metric. The primary turbo_xrt is printed first
 and RE-PRINTED after every extra, so the LAST stdout line is always
 turbo_xrt (the driver parses the final line) at any termination point.
 Extra metrics are individually guarded: a failure or the soft time budget
-(CHATTERBOX_BENCH_BUDGET_S, default 540 s) skips the rest but never loses
+(CHATTERBOX_BENCH_BUDGET_S, default 900 s) skips the rest but never loses
 turbo_xrt.
 """
 import json
@@ -38,7 +38,7 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "900"))
 _T_START = time.perf_counter()
 
 

@@ -122,6 +122,27 @@ class TestHTTP:
             _post(server, {"text": "x", "voice": "nope"})
         assert ei.value.code == 400
 
+    def test_timeout_returns_504_and_leaks_nothing(self, server):
+        """A timed-out request must 504, and the result that the serving
+        loop later produces must be dropped, not retained forever."""
+        import time
+        old = server.timeout_s
+        server.timeout_s = 1e-3
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(server, {"text": "too slow", "seed": 99})
+            assert ei.value.code == 504
+        finally:
+            server.timeout_s = old
+        # wait for the loop to finish the abandoned request, then verify
+        # the result dict didn't retain it
+        deadline = time.time() + 120
+        while time.time() < deadline and server.loop._q.qsize():
+            time.sleep(0.2)
+        time.sleep(2.0)          # let _on_result fire (and drop it)
+        assert server._results == {}
+        assert server._events == {}
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(

@@ -54,10 +54,12 @@ class SlotStates(NamedTuple):
 
 
 def init_slots(hp: T3Config, n_slots: int, text_bucket: int,
-               max_new_tokens: int) -> SlotStates:
+               max_new_tokens: int, t_cap: int = None) -> SlotStates:
+    """t_cap: optional initial cache capacity (slots are LEFT-aligned at
+    offset 0, so the cache can start small and grow — grow_slot_cache)."""
     cfg = hp.backbone
     Lc = t3m.cond_len(hp)
-    t_max = Lc + text_bucket + 1 + max_new_tokens
+    t_max = t_cap or (Lc + text_bucket + 1 + max_new_tokens)
     V = hp.speech_tokens_dict_size
     return SlotStates(
         cache=bb.KVCache.zeros(cfg, n_slots, t_max, dtype=jnp.bfloat16),
@@ -209,6 +211,17 @@ def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
     return f.st
 
 
+@functools.partial(jax.jit, static_argnames=("new_t_cap",))
+def grow_slot_cache(state: SlotStates, *, new_t_cap: int) -> SlotStates:
+    """Pad the slot cache's time axis (bucketed growth; rows are
+    left-aligned so existing K/V stay valid)."""
+    k, v = state.cache.k, state.cache.v
+    pad = new_t_cap - k.shape[3]
+    assert pad >= 0
+    spec = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+    return state._replace(cache=bb.KVCache(jnp.pad(k, spec), jnp.pad(v, spec)))
+
+
 class ContinuousTTSServer:
     """Host-side serving loop over the slot machine: submit anytime; requests
     join at the next chunk boundary and are harvested the moment their row
@@ -226,7 +239,17 @@ class ContinuousTTSServer:
         self.chunk = chunk
         self.top_k = top_k
         self.s3gen = s3gen
-        self.state = init_slots(hp, n_slots, text_bucket, max_new_tokens)
+        # bucketed cache: start at one chunk's worth of headroom and grow as
+        # the furthest slot advances (host-side upper bounds, no extra syncs)
+        Lc = t3m.cond_len(hp)
+        self._cap_base = Lc + text_bucket + 1
+        self._t_full = self._cap_base + max_new_tokens
+        self._t_cap = min(self._t_full,
+                          self._cap_base + max(4 * chunk, 16))
+        self.state = init_slots(hp, n_slots, text_bucket, max_new_tokens,
+                                t_cap=self._t_cap)
+        self._slot_bound: list = [0] * n_slots   # host upper bound on
+                                                 # prefix_len + step per slot
         self._key = jax.random.key(seed)
         self._pending: list = []            # (request, ) FIFO
         self._slot_req: list = [None] * n_slots
@@ -265,6 +288,7 @@ class ContinuousTTSServer:
                 jnp.asarray(float(spr.repetition_penalty) if spr else 1.2),
             )
             self._slot_req[slot] = req
+            self._slot_bound[slot] = (t3m.cond_len(self.hp) + len(ids) + 1)
 
     def _flush_vocode(self):
         """Fetch the previous round's batched vocode (its compute overlapped
@@ -302,6 +326,7 @@ class ContinuousTTSServer:
                 voc_rids.append(req.request_id)
             out.append(req.request_id)
             self._slot_req[i] = None
+            self._slot_bound[i] = 0
             self.state = self.state._replace(
                 active=self.state.active.at[i].set(False))
         if voc_rows:
@@ -318,8 +343,21 @@ class ContinuousTTSServer:
         self._admit_pending()
         if not any(r is not None for r in self._slot_req):
             return []
+        # bucketed growth: ensure the cache covers every slot's next chunk
+        needed = max(b for b in self._slot_bound) + self.chunk
+        if needed > self._t_cap:
+            new_cap = self._t_cap
+            while new_cap < needed:
+                new_cap = min(self._t_full,
+                              self._cap_base
+                              + 2 * (new_cap - self._cap_base))
+            self.state = grow_slot_cache(self.state, new_t_cap=new_cap)
+            self._t_cap = new_cap
         self.state = decode_chunk_multi(self.t3_params, self.hp, self.state,
                                         n_steps=self.chunk, top_k=self.top_k)
+        for i in range(self.n_slots):         # advance host upper bounds
+            if self._slot_req[i] is not None:
+                self._slot_bound[i] += self.chunk
         return self._harvest()
 
     def run_until_idle(self, max_rounds: int = 10_000) -> dict:

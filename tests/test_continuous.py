@@ -123,3 +123,34 @@ class TestContinuousBatching:
         assert set(results) == set(range(6))
         for t in results.values():
             assert (t < 6561).all()
+
+
+class TestBucketedSlotCache:
+    def test_cache_grows_and_results_unchanged(self, setup):
+        """The slot cache starts small and grows as rows advance; results
+        must match a server whose cache was full-size from the start."""
+        from chatterbox_tpu.sampling.continuous import init_slots
+        hp, params, cond = setup
+
+        srv_small = _server(hp, params)
+        cap0 = srv_small._t_cap
+        assert cap0 < srv_small._t_full          # actually starts small
+
+        srv_full = _server(hp, params)
+        srv_full.state = init_slots(hp, srv_full.n_slots,
+                                    srv_full.text_bucket,
+                                    srv_full.max_new_tokens)   # full cap
+        srv_full._t_cap = srv_full._t_full
+
+        # long prefixes so prefix+steps exceeds the initial small cap
+        for i in range(3):
+            srv_small.submit(_req(cond, rid=i, seed=500 + i, n_text=14,
+                                  max_new=24))
+            srv_full.submit(_req(cond, rid=i, seed=500 + i, n_text=14,
+                                 max_new=24))
+        small = srv_small.run_until_idle()
+        full = srv_full.run_until_idle()
+        assert srv_small._t_cap > cap0           # growth happened
+        assert set(small) == set(full) == {0, 1, 2}
+        for rid in small:
+            np.testing.assert_array_equal(small[rid], full[rid])

@@ -11,7 +11,16 @@ COMBINED (T, H*D) cache layout:
   out (HD,)      = sum_t P_exp * V_tile               (VPU elementwise+reduce)
 
 Flash accumulation across TT tiles. B=1, one kernel call per layer.
-Run on the TPU: PYTHONPATH=".:$PYTHONPATH" python tools/perf_attn_bd.py
+Run on the TPU: PYTHONPATH=".:$PYTHONPATH" python tools/perf_attn_bd.py [T]
+
+MEASUREMENT STATUS (v5e, r2): the kernel is CORRECT (2e-4 vs the reference)
+and measures ~4.5 us/layer standalone at T=512-2048. The in-loop XLA
+numbers printed by this harness are NOT trustworthy — XLA hoists the
+loop-invariant k/v transposes (and possibly more) out of the fori_loop, so
+it reports 1.7-2.5 us/layer, while the xplane traces of the REAL decode
+loop put XLA attention at ~8-12 us/layer. Next step (r3): wire the kernel
+into _attn_core behind a flag (needs the combined (B, T, H*D) cache
+layout) and compare END-TO-END tok/s — only that comparison decides.
 """
 import functools
 import time
@@ -31,8 +40,12 @@ HD = H * D
 TT = 256
 
 
-def _kernel(cl_ref, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr):
-    """Grid (T//TT,). q (8, HD) row0 live; k/v (TT, HD) tiles; out (8, HD)."""
+def _kernel(lt_ref, cl_ref, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr,
+            acc_scr):
+    """Grid (T//TT,). Scalar-prefetch lt = last valid tile (index maps clamp
+    to it, so tiles past cur_len repeat a block index and their DMA is
+    SKIPPED — O(cur_len) HBM traffic). q (8, HD) row0 live; k/v (TT, HD)
+    tiles; out (8, HD)."""
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
 
@@ -42,44 +55,45 @@ def _kernel(cl_ref, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr):
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # Qbd (HD, H): q broadcast to columns, masked to the head's block
     j = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 0)
     h = jax.lax.broadcasted_iota(jnp.int32, (HD, H), 1)
     blk = (j // D) == h
-    qbd = jnp.where(blk, q_ref[0:1, :].T.astype(jnp.float32), 0.0)
-
-    k = k_ref[:].astype(jnp.float32)                  # (TT, HD)
-    scores = jax.lax.dot_general(
-        k, qbd, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * (1.0 / (D ** 0.5))  # (TT, H)
-    pos = t * TT + jax.lax.broadcasted_iota(jnp.int32, (TT, H), 0)
-    valid = pos <= cl_ref[0]
-    scores = jnp.where(valid, scores, -jnp.inf)
-
-    m_prev = m_scr[0:1, :H]                           # (1, H)
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
-    m_new = jnp.maximum(m_new, -3.0e38)
-    alpha = jnp.exp(m_prev - m_new)                   # (1, H)
-    p = jnp.exp(scores - m_new)                       # (TT, H)
-    p = jnp.where(valid, p, 0.0)
-    l_new = l_scr[0:1, :H] * alpha + jnp.sum(p, axis=0, keepdims=True)
-
-    # expand p columns to the (TT, HD) layout with one MXU matmul
     e = jnp.where(blk, 1.0, 0.0).T                    # (H, HD)
-    p_exp = jax.lax.dot_general(
-        p, e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (TT, HD)
-    pv = jnp.sum(p_exp * v_ref[:].astype(jnp.float32), axis=0,
-                 keepdims=True)                       # (1, HD)
 
-    alpha_exp = jax.lax.dot_general(
-        alpha, e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (1, HD)
-    acc_scr[0:1, :] = acc_scr[0:1, :] * alpha_exp + pv
-    m_scr[0:1, :H] = m_new
-    l_scr[0:1, :H] = l_new
+    @pl.when(t <= lt_ref[0])
+    def _():
+        qbd = jnp.where(blk, q_ref[0:1, :].T.astype(jnp.float32), 0.0)
+        k = k_ref[:].astype(jnp.float32)              # (TT, HD)
+        scores = jax.lax.dot_general(
+            k, qbd, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (1.0 / (D ** 0.5))  # (TT, H)
+        pos = t * TT + jax.lax.broadcasted_iota(jnp.int32, (TT, H), 0)
+        valid = pos <= cl_ref[0]
+        scores = jnp.where(valid, scores, -jnp.inf)
 
-    @pl.when(t == pl.num_programs(0) - 1)
+        m_prev = m_scr[0:1, :H]                       # (1, H)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
+        m_new = jnp.maximum(m_new, -3.0e38)
+        alpha = jnp.exp(m_prev - m_new)               # (1, H)
+        p = jnp.exp(scores - m_new)                   # (TT, H)
+        p = jnp.where(valid, p, 0.0)
+        l_new = l_scr[0:1, :H] * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        # expand p columns to the (TT, HD) layout with one MXU matmul
+        p_exp = jax.lax.dot_general(
+            p, e, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (TT, HD)
+        pv = jnp.sum(p_exp * v_ref[:].astype(jnp.float32), axis=0,
+                     keepdims=True)                   # (1, HD)
+
+        alpha_exp = jax.lax.dot_general(
+            alpha, e, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (1, HD)
+        acc_scr[0:1, :] = acc_scr[0:1, :] * alpha_exp + pv
+        m_scr[0:1, :H] = m_new
+        l_scr[0:1, :H] = l_new
+
+    @pl.when(t == n_t - 1)
     def _():
         l_exp = jax.lax.dot_general(
             jnp.maximum(l_scr[0:1, :H], 1e-30), e,
@@ -92,26 +106,35 @@ def _kernel(cl_ref, q_ref, k_ref, v_ref, out_ref, m_scr, l_scr, acc_scr):
 def attn_bd(q, k, v, cur_len):
     """q (H, D); k/v (T, HD) combined layout; cur_len () -> out (H, D)."""
     T = k.shape[0]
+    n_t = T // TT
+    cur_len = cur_len.astype(jnp.int32)
+    last_tile = jnp.minimum(cur_len // TT, n_t - 1).reshape(1)
     q8 = jnp.broadcast_to(q.reshape(1, HD), (8, HD))
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((8, HD), jnp.float32),
-        grid=(T // TT,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, HD), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TT, HD), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TT, HD), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, HD), lambda t, lt, cl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, HD), lambda t, lt, cl: (jnp.minimum(t, lt[0]), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, HD), lambda t, lt, cl: (jnp.minimum(t, lt[0]), 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, HD), lambda t: (0, 0),
+        out_specs=pl.BlockSpec((8, HD), lambda t, lt, cl: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((8, HD), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((8, HD), jnp.float32),
+        grid_spec=grid_spec,
         interpret=jax.devices()[0].platform not in ("tpu", "axon"),
-    )(cur_len.reshape(1).astype(jnp.int32), q8,
+    )(last_tile, cur_len.reshape(1), q8,
       k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
     return out[0].reshape(H, D)
 
@@ -128,12 +151,13 @@ def xla_ref(q, k, v, cur_len):
 
 
 if __name__ == "__main__":
+    import sys
     rng = np.random.default_rng(0)
-    T = 512
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     q = jnp.asarray(rng.standard_normal((H, D)).astype(np.float32)) * 0.3
     k = jnp.asarray(rng.standard_normal((T, HD)).astype(np.float32)) * 0.3
     v = jnp.asarray(rng.standard_normal((T, HD)).astype(np.float32)) * 0.3
-    cl = jnp.asarray(371)
+    cl = jnp.asarray(min(371, T - 1))
 
     out = attn_bd(q, k, v, cl)
     ref = xla_ref(q, k.astype(jnp.bfloat16).astype(jnp.float32),
@@ -149,7 +173,9 @@ if __name__ == "__main__":
         @jax.jit
         def many(q, k, v, cl):
             def body(_, acc):
-                return acc * 0.0 + fn(q + acc[0, 0] * 0.0, k, v, cl)
+                # REAL data dependency (acc*0 would constant-fold and let
+                # XLA hoist the call out of the loop)
+                return fn(q + acc * 1e-30, k, v, cl)
             return jax.lax.fori_loop(0, N_IT, body, jnp.zeros((H, D)))
         return many
 

@@ -1,0 +1,128 @@
+"""Decisive in-loop A/B for the block-diagonal decode-attention kernel.
+
+Builds a synthetic 24-layer GPT2-medium-shaped decode loop (real int8 weight
+traffic via the production fused kernels, real cache writes) and runs 250
+steps under lax.while_loop twice:
+  A) XLA attention over the standard (L, 1, H, T, D) split cache
+  B) the bd pallas kernel (tools/perf_attn_bd.py) over a combined
+     (L, T, H*D) cache
+Identical math (masked softmax over pos <= cur). The step-time delta
+isolates the attention formulation under realistic memory-system load —
+the number the standalone microbenches cannot give.
+
+Run: PYTHONPATH=".:$PYTHONPATH" python tools/perf_attn_inloop.py [T_max]
+
+STATUS (r2): currently fails on the axon relay with an opaque
+FAILED_PRECONDITION at execution time (the single-op health check passes;
+suspect the 24-unrolled-pallas-calls-inside-while_loop program size, or the
+prefetch-grid kernel under a while body at this scale). Debug in r3 —
+try L=4 first, then bisect.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  __file__.rsplit("/", 2)[0] + "/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from chatterbox_tpu.ops.fused_layer import (apply_fused_gpt2_qkv_int8,
+                                            apply_fused_gpt2_mlp_int8,
+                                            prepare_fused_gpt2_layer_int8)
+from chatterbox_tpu.utils.quantize import quantize_tree
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from perf_attn_bd import attn_bd, H, D, HD  # noqa: E402
+
+L = 24
+EPS = 1e-5
+
+
+def make_layers(key):
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.02
+    layers = []
+    for _ in range(L):
+        lp = {
+            "ln1": {"g": jnp.ones((HD,)), "b": jnp.zeros((HD,))},
+            "qkv": {"w": mk(HD, 3 * HD), "b": jnp.zeros((3 * HD,))},
+            "attn_out": {"w": mk(HD, HD), "b": jnp.zeros((HD,))},
+            "ln2": {"g": jnp.ones((HD,)), "b": jnp.zeros((HD,))},
+            "fc_in": {"w": mk(HD, 4 * HD), "b": jnp.zeros((4 * HD,))},
+            "fc_out": {"w": mk(4 * HD, HD), "b": jnp.zeros((HD,))},
+        }
+        lp = quantize_tree(lp, mode="int8")
+        lp["fused"] = prepare_fused_gpt2_layer_int8(lp)
+        layers.append(lp)
+    return layers
+
+
+def run_loop(layers, T, steps, mode):
+    """mode: 'xla' (split cache) or 'bd' (combined cache)."""
+    if mode == "xla":
+        cache_k = jnp.zeros((L, H, T, D), jnp.bfloat16)
+        cache_v = jnp.zeros((L, H, T, D), jnp.bfloat16)
+    else:
+        cache_k = jnp.zeros((L, T, HD), jnp.bfloat16)
+        cache_v = jnp.zeros((L, T, HD), jnp.bfloat16)
+
+    def body(c):
+        i, x, ck, cv = c
+        for li, lp in enumerate(layers):
+            qkv = apply_fused_gpt2_qkv_int8(lp["fused"], x, EPS)  # (1, 3HD)
+            q, k, v = jnp.split(qkv[0], 3)
+            if mode == "xla":
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.reshape(1, H, 1, D).astype(jnp.bfloat16),
+                    (li, 0, i, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.reshape(1, H, 1, D).astype(jnp.bfloat16),
+                    (li, 0, i, 0))
+                kk = ck[li].astype(jnp.float32)          # (H, T, D)
+                vv = cv[li].astype(jnp.float32)
+                qh = q.reshape(H, D)
+                s = jnp.einsum("hd,htd->ht", qh, kk) / (D ** 0.5)
+                valid = jnp.arange(T)[None, :] <= i
+                s = jnp.where(valid, s, -jnp.inf)
+                p = jax.nn.softmax(s, axis=-1)
+                attn = jnp.einsum("ht,htd->hd", p, vv).reshape(1, HD)
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.reshape(1, 1, HD).astype(jnp.bfloat16), (li, i, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.reshape(1, 1, HD).astype(jnp.bfloat16), (li, i, 0))
+                attn = attn_bd(q.reshape(H, D), ck[li], cv[li],
+                               i).reshape(1, HD)
+            x = apply_fused_gpt2_mlp_int8(lp["fused"], attn.astype(x.dtype),
+                                          x, EPS)
+        return (i + 1, x.astype(jnp.float32), ck, cv)
+
+    def cond(c):
+        return c[0] < steps
+
+    i0 = jnp.zeros((), jnp.int32)
+    x0 = jnp.ones((1, HD), jnp.float32) * 0.1
+    final = jax.lax.while_loop(cond, body, (i0, x0, cache_k, cache_v))
+    return final[1]
+
+
+if __name__ == "__main__":
+    T = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    STEPS = 250
+    layers = make_layers(0)
+    fns = {m: jax.jit(lambda m=m: run_loop(layers, T, STEPS, m))
+           for m in ("xla", "bd")}
+    # correctness cross-check of the final hidden state
+    outs = {m: np.asarray(f()) for m, f in fns.items()}
+    err = float(np.max(np.abs(outs["xla"] - outs["bd"])))
+    print(f"T={T}: final-state max delta xla vs bd = {err:.5f}")
+    for m, f in fns.items():
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best = min(best, time.perf_counter() - t0)
+        print(f"  {m}: {best*1e3:7.1f} ms for {STEPS} steps "
+              f"({best/STEPS*1e6:6.1f} us/step)")

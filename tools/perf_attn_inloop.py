@@ -12,11 +12,16 @@ the number the standalone microbenches cannot give.
 
 Run: PYTHONPATH=".:$PYTHONPATH" python tools/perf_attn_inloop.py [T_max]
 
-STATUS (r2): currently fails on the axon relay with an opaque
-FAILED_PRECONDITION at execution time (the single-op health check passes;
-suspect the 24-unrolled-pallas-calls-inside-while_loop program size, or the
-prefetch-grid kernel under a while body at this scale). Debug in r3 —
-try L=4 first, then bisect.
+Gotcha found while building this: weights must be passed as jit ARGUMENTS.
+Closing over them bakes ~300 MB of int8 constants into the serialized HLO
+and the relay's remote_compile endpoint rejects it (HTTP 413).
+
+VERDICT (v5e, r2, T=512): DEAD HEAT — 640.2 (xla) vs 641.1 (bd) us/step.
+The xplane trace's ~12 us/layer attention attribution overstated the
+MARGINAL cost (fusion wall time includes DMA waits that overlap other
+work); the step is at its memory-system limit. The bd kernel line is
+CLOSED — don't pursue the cache-layout change. (The loop here reproduces
+the real product step time, 640 vs 581 us, so the harness is realistic.)
 """
 import sys
 import time
@@ -59,7 +64,7 @@ def make_layers(key):
     return layers
 
 
-def run_loop(layers, T, steps, mode):
+def run_loop(layers, T, steps, mode):  # layers passed as a jit ARG
     """mode: 'xla' (split cache) or 'bd' (combined cache)."""
     if mode == "xla":
         cache_k = jnp.zeros((L, H, T, D), jnp.bfloat16)
@@ -112,8 +117,10 @@ if __name__ == "__main__":
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     STEPS = 250
     layers = make_layers(0)
-    fns = {m: jax.jit(lambda m=m: run_loop(layers, T, STEPS, m))
-           for m in ("xla", "bd")}
+    import functools
+    run = jax.jit(functools.partial(run_loop, T=T, steps=STEPS),
+                  static_argnames=("mode",))
+    fns = {m: (lambda m=m: run(layers, mode=m)) for m in ("xla", "bd")}
     # correctness cross-check of the final hidden state
     outs = {m: np.asarray(f()) for m, f in fns.items()}
     err = float(np.max(np.abs(outs["xla"] - outs["bd"])))

@@ -3,14 +3,22 @@
 Measures the real-size hot paths on random-init weights (identical
 FLOPs/shapes to the published checkpoints):
 
-  1. turbo_xrt   — Chatterbox-Turbo 350M single-stream (target ≥20×):
-                   GPT2-medium int8 decode + 2-step meanflow S3Gen + HiFT.
-  2. ttfa_ms     — p50 time-to-first-audio on the Turbo streaming path
-                   (prefill + 25-token chunk + short vocode; target <200 ms).
-  3. batch8_xrt  — aggregate ×realtime for 8 concurrent requests (batched
-                   decode + one batched S3Gen call; BASELINE config 5).
-  4. cfg520_xrt  — original Chatterbox 520M CFG pipeline (llama backbone,
-                   batch-2 CFG decode, 10-step CFG CFM; target ≥10×).
+  1. turbo_xrt      — Chatterbox-Turbo 350M single-stream (target ≥20×):
+                      GPT2-medium int8 decode + fused device handoff +
+                      2-step meanflow S3Gen + HiFT.
+  2. ttfa_ms        — p50 time-to-first-audio on the Turbo streaming path
+                      (prefill + 25-token chunk + short vocode; target <200 ms).
+  3. batch8_xrt     — aggregate ×realtime for 8 concurrent requests (batched
+                      decode + one batched S3Gen call; BASELINE config 5).
+  4. cfg520_xrt     — original Chatterbox 520M CFG pipeline (llama backbone,
+                      batch-2 CFG decode, 10-step CFG CFM; target ≥10×).
+  5. vc_xrt         — VC isolation: S3 tokenizer → 10-step S3Gen, no T3
+                      (BASELINE config 4).
+  6. turbo_xrt_bf16 — Turbo with unquantized bf16 weights (int8 de-risk).
+  7. batch16_xrt / batch32_xrt — batch-scaling study past B=8.
+  8. nano_cpu_xrt   — Nano 110M on the CPU backend (BASELINE config 1;
+                      reference claims 3× RT on 8 cores — the vs_baseline
+                      target is scaled by min(cores,8)/8 for this image).
 
 Axon quirk: block_until_ready is a no-op over the relay — all timings fetch
 values (np.asarray) to force completion.
@@ -38,7 +46,7 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "900"))
+BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "1500"))
 _T_START = time.perf_counter()
 
 
@@ -104,33 +112,37 @@ def bench_turbo(results):
     sp = SamplerParams.make(temperature=0.8, top_p=0.95, repetition_penalty=1.2,
                             cfg_weight=0.0)
 
-    def t3_step(seed):
+    # fused decode→vocode handoff (r3): tokens never visit the host — the
+    # only mid-pipeline sync is the n_tokens scalar for bucket choice.
+    # (r2 path fetched tokens, filtered on host, re-uploaded: ~35 ms/call.)
+    def gen_step(seed):
+        t0 = time.perf_counter()
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
                           top_k=1000, cfg_mode=False, ignore_eos=True)
-        return np.asarray(res.tokens)
-
-    _log("compiling Turbo T3 decode ...")
-    toks = t3_step(0) % 6561
-    _log("compiling S3Gen ...")
-    engine.inference(toks[None] if toks.ndim == 1 else toks, ref, jax.random.key(1))
-
-    t3_times, s3_times = [], []
-    for i in range(3):
-        t0 = time.perf_counter()
-        toks = t3_step(i + 1) % 6561
+        n = int(res.n_tokens)                  # sync: decode complete
         t1 = time.perf_counter()
-        wav = engine.inference(toks[None], ref, jax.random.key(i + 2))
+        wav, n_gen = engine.inference_from_decode(
+            res.tokens, n, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=6561)
         assert np.isfinite(wav).all()
         t2 = time.perf_counter()
-        t3_times.append(t1 - t0)
-        s3_times.append(t2 - t1)
+        return t1 - t0, t2 - t1, n_gen
+
+    _log("compiling Turbo T3 decode + fused handoff ...")
+    gen_step(0)
+
+    t3_times, s3_times, n_gen = [], [], N_TOKENS
+    for i in range(3):
+        dt_t3, dt_s3, n_gen = gen_step(i + 1)
+        t3_times.append(dt_t3)
+        s3_times.append(dt_s3)
 
     t3_t, s3_t = min(t3_times), min(s3_times)
-    audio_sec = N_TOKENS / 25.0
+    audio_sec = n_gen / 25.0
     xrt = audio_sec / (t3_t + s3_t)
-    _log(f"Turbo: T3 {t3_t:.3f}s ({N_TOKENS / t3_t:.1f} tok/s), S3Gen {s3_t:.3f}s "
-         f"→ {xrt:.2f}x realtime")
+    _log(f"Turbo: T3 {t3_t:.3f}s ({N_TOKENS / t3_t:.1f} tok/s), "
+         f"S3Gen+handoff {s3_t:.3f}s → {xrt:.2f}x realtime")
     results["turbo_xrt"] = xrt
     return dict(hp=hp, t3_params=t3_params, engine=engine, cond=cond, ref=ref,
                 sp=sp, text=text)
@@ -170,46 +182,6 @@ def bench_ttfa(results, ctx):
     results["ttfa_ms"] = p50
 
 
-def bench_batch8(results, ctx):
-    """Aggregate xRT for 8 concurrent requests (BASELINE config 5)."""
-    from chatterbox_tpu.sampling.batched import t3_generate_batched
-    from chatterbox_tpu.models.t3 import model as t3m
-
-    hp, t3_params, engine, ref = ctx["hp"], ctx["t3_params"], ctx["engine"], ctx["ref"]
-    B, N_TOKENS = 8, 250
-    cond = t3m.T3CondArrays(
-        speaker_emb=jnp.zeros((B, 256)),
-        cond_prompt_speech_tokens=jnp.zeros((B, hp.speech_cond_prompt_len), jnp.int32),
-        emotion_adv=None,
-    )
-    text = jnp.zeros((B, 32), jnp.int32)
-    lens = jnp.full((B,), 30, jnp.int32)
-
-    def step(seed):
-        res = t3_generate_batched(
-            t3_params, hp, cond, text, lens, ctx["sp"],
-            jax.random.split(jax.random.key(seed), B),
-            max_new_tokens=N_TOKENS, top_k=1000, ignore_eos=True)
-        return np.asarray(res.tokens) % 6561
-
-    _log("compiling batch-8 decode ...")
-    toks = step(0)
-    _log("compiling batched S3Gen ...")
-    engine.inference_batch(list(toks), [ref] * B, jax.random.key(3))
-
-    times = []
-    for i in range(2):
-        t0 = time.perf_counter()
-        toks = step(i + 1)
-        wavs = engine.inference_batch(list(toks), [ref] * B, jax.random.key(i + 4))
-        assert all(np.isfinite(w).all() for w in wavs)
-        times.append(time.perf_counter() - t0)
-    agg_audio = B * N_TOKENS / 25.0
-    xrt = agg_audio / min(times)
-    _log(f"batch-8: {min(times):.3f}s for {agg_audio:.0f}s audio → {xrt:.1f}x agg")
-    results["batch8_xrt"] = xrt
-
-
 def bench_cfg520(results):
     """Original Chatterbox 520M: llama backbone, CFG batch-2, 10-step CFM."""
     from chatterbox_tpu.models.t3.config import T3Config
@@ -245,41 +217,236 @@ def bench_cfg520(results):
                             repetition_penalty=1.2, cfg_weight=0.5)
 
     def step(seed):
+        t0 = time.perf_counter()
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
                           cfg_mode=True, ignore_eos=True)
+        n = int(res.n_tokens)
+        t1 = time.perf_counter()
+        # cfg_slice=False: ignore_eos random tokens carry no EOS semantics —
+        # keep the vocoded length pinned at ~N_TOKENS for a stable metric
+        wav, n_gen = engine.inference_from_decode(
+            res.tokens, n, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=6561)
+        assert np.isfinite(wav).all()
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1, n_gen
+
+    _log("compiling 520M CFG decode + fused handoff ...")
+    step(0)
+
+    t3_times, s3_times, n_gen = [], [], N_TOKENS
+    for i in range(2):
+        dt_t3, dt_s3, n_gen = step(i + 1)
+        t3_times.append(dt_t3)
+        s3_times.append(dt_s3)
+    audio_sec = n_gen / 25.0
+    xrt = audio_sec / (min(t3_times) + min(s3_times))
+    _log(f"520M CFG: T3 {min(t3_times):.3f}s, S3Gen+handoff {min(s3_times):.3f}s "
+         f"→ {xrt:.2f}x realtime")
+    results["cfg520_xrt"] = xrt
+    return dict(engine=engine, ref=ref)
+
+
+def bench_vc(results, cfg_ctx):
+    """ChatterboxVC isolation: S3 tokenizer → 10-step S3Gen, no T3
+    (BASELINE config 4; ref: vc.py:83-104). Reuses the cfg520 engine."""
+    engine, ref = cfg_ctx["engine"], cfg_ctx["ref"]
+    SECONDS = 10
+    rng = np.random.default_rng(5)
+    wav16 = (0.1 * rng.standard_normal(SECONDS * 16_000)).astype(np.float32)
+
+    def step(seed):
+        t0 = time.perf_counter()
+        tokens, _ = engine.tokenize(wav16)
+        wav = engine.inference(tokens, ref, jax.random.key(seed))
+        assert np.isfinite(wav).all()
+        return time.perf_counter() - t0
+
+    _log("compiling VC path (tokenize + 10-step S3Gen) ...")
+    step(20)
+    times = [step(21 + i) for i in range(3)]
+    xrt = SECONDS / min(times)
+    _log(f"VC: {min(times):.3f}s for {SECONDS}s audio → {xrt:.2f}x realtime")
+    results["vc_xrt"] = xrt
+
+
+def bench_turbo_bf16(results, ctx):
+    """De-risk the int8 headline: the same Turbo config with plain bf16
+    weights (no quantization), so the recorded margin doesn't ride on an
+    int8 quality call that needs real checkpoints to validate."""
+    from chatterbox_tpu.models.t3 import model as t3m
+    from chatterbox_tpu.sampling.decode import t3_generate
+    from chatterbox_tpu.utils.dtypes import cast_params
+
+    hp, engine, cond, ref, sp, text = (ctx["hp"], ctx["engine"], ctx["cond"],
+                                       ctx["ref"], ctx["sp"], ctx["text"])
+    _log("building Turbo T3 (bf16, no quantization) ...")
+    t3_params = cast_params(t3m.t3_init(jax.random.key(0), hp), jnp.bfloat16)
+    N_TOKENS = 250
+
+    def step(seed):
+        t0 = time.perf_counter()
+        res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
+                          jax.random.key(seed), max_new_tokens=N_TOKENS,
+                          top_k=1000, cfg_mode=False, ignore_eos=True)
+        n = int(res.n_tokens)
+        t1 = time.perf_counter()
+        wav, n_gen = engine.inference_from_decode(
+            res.tokens, n, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=6561)
+        assert np.isfinite(wav).all()
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1, n_gen
+
+    _log("compiling bf16 Turbo decode ...")
+    step(0)
+    runs = [step(i + 1) for i in range(2)]
+    t3_t = min(r[0] for r in runs)
+    s3_t = min(r[1] for r in runs)
+    xrt = (runs[-1][2] / 25.0) / (t3_t + s3_t)
+    _log(f"Turbo bf16: T3 {t3_t:.3f}s, S3Gen {s3_t:.3f}s → {xrt:.2f}x realtime")
+    results["turbo_xrt_bf16"] = xrt
+
+
+def _bench_batchN(results, ctx, B):
+    """Aggregate xRT for B concurrent requests (scaling study past B=8)."""
+    from chatterbox_tpu.sampling.batched import t3_generate_batched
+    from chatterbox_tpu.models.t3 import model as t3m
+
+    hp, t3_params, engine, ref = (ctx["hp"], ctx["t3_params"], ctx["engine"],
+                                  ctx["ref"])
+    N_TOKENS = 250
+    cond = t3m.T3CondArrays(
+        speaker_emb=jnp.zeros((B, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((B, hp.speech_cond_prompt_len), jnp.int32),
+        emotion_adv=None,
+    )
+    text = jnp.zeros((B, 32), jnp.int32)
+    lens = jnp.full((B,), 30, jnp.int32)
+
+    def step(seed):
+        res = t3_generate_batched(
+            t3_params, hp, cond, text, lens, ctx["sp"],
+            jax.random.split(jax.random.key(seed), B),
+            max_new_tokens=N_TOKENS, top_k=1000, ignore_eos=True)
         return np.asarray(res.tokens) % 6561
 
-    _log("compiling 520M CFG decode ...")
+    _log(f"compiling batch-{B} decode ...")
     toks = step(0)
-    _log("compiling 10-step S3Gen ...")
-    engine.inference(toks[None], ref, jax.random.key(11))
+    _log(f"compiling batch-{B} S3Gen ...")
+    engine.inference_batch(list(toks), [ref] * B, jax.random.key(3))
 
-    t3_times, s3_times = [], []
+    times = []
     for i in range(2):
         t0 = time.perf_counter()
         toks = step(i + 1)
-        t1 = time.perf_counter()
-        wav = engine.inference(toks[None], ref, jax.random.key(i + 12))
+        wavs = engine.inference_batch(list(toks), [ref] * B, jax.random.key(i + 4))
+        assert all(np.isfinite(w).all() for w in wavs)
+        times.append(time.perf_counter() - t0)
+    agg_audio = B * N_TOKENS / 25.0
+    xrt = agg_audio / min(times)
+    _log(f"batch-{B}: {min(times):.3f}s for {agg_audio:.0f}s audio → {xrt:.1f}x agg")
+    results[f"batch{B}_xrt"] = xrt
+
+
+NANO_CPU_TOKENS = 125
+
+
+def bench_nano_cpu(results):
+    """BASELINE config 1: Nano on the CPU backend. The reference's published
+    number is 3× realtime on EIGHT CPU cores (ref: README.md:32,45); this
+    image has os.cpu_count() cores, so the target is scaled per-core
+    (3.0 * min(cores,8)/8) and the raw xrt is emitted."""
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    _log(f"nano-cpu: spawning CPU-backend child ({os.cpu_count()} cores) ...")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--nano-cpu-child"],
+        env=env, capture_output=True, text=True, timeout=900)
+    sys.stderr.write(out.stderr[-2000:])
+    if out.returncode != 0:
+        raise RuntimeError(f"nano-cpu child failed rc={out.returncode}")
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    results["nano_cpu_xrt"] = data["nano_cpu_xrt"]
+    results["nano_cpu_cores"] = data["cores"]
+
+
+def nano_cpu_child():
+    """Child process: JAX_PLATFORMS=cpu. Decode + fused vocode at real Nano
+    size, f32 (CPU matmuls; bf16 is emulated and slower on CPU)."""
+    from chatterbox_tpu.models.t3.config import T3Config
+    from chatterbox_tpu.models.t3 import model as t3m
+    from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init
+    from chatterbox_tpu.sampling.decode import t3_generate
+    from chatterbox_tpu.ops.sampling import SamplerParams
+
+    # the image's sitecustomize pins the axon platform; override directly
+    # (the backend is not initialized until the first device use)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    hp = T3Config.nano()
+    k1, k2 = jax.random.split(jax.random.key(0))
+    _log("nano-cpu: building Nano T3 (GPT2-small, f32) ...")
+    t3_params = t3m.t3_init(k1, hp)
+    _log("nano-cpu: building S3Gen (meanflow) ...")
+    engine = S3GenEngine(s3gen_init(k2, meanflow=True), meanflow=True)
+    cond = t3m.T3CondArrays(
+        speaker_emb=jnp.zeros((1, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((1, hp.speech_cond_prompt_len), jnp.int32),
+        emotion_adv=None,
+    )
+    ref = _make_ref(np.random.default_rng(0))
+    text = jnp.zeros((1, 32), jnp.int32)
+    sp = SamplerParams.make(temperature=0.8, top_p=0.95,
+                            repetition_penalty=1.2, cfg_weight=0.0)
+
+    def step(seed):
+        t0 = time.perf_counter()
+        res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
+                          jax.random.key(seed), max_new_tokens=NANO_CPU_TOKENS,
+                          top_k=1000, cfg_mode=False, ignore_eos=True)
+        n = int(res.n_tokens)
+        wav, n_gen = engine.inference_from_decode(
+            res.tokens, n, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=6561)
         assert np.isfinite(wav).all()
-        t2 = time.perf_counter()
-        t3_times.append(t1 - t0)
-        s3_times.append(t2 - t1)
-    audio_sec = N_TOKENS / 25.0
-    xrt = audio_sec / (min(t3_times) + min(s3_times))
-    _log(f"520M CFG: T3 {min(t3_times):.3f}s, S3Gen {min(s3_times):.3f}s "
-         f"→ {xrt:.2f}x realtime")
-    results["cfg520_xrt"] = xrt
+        return time.perf_counter() - t0, n_gen
+
+    _log("nano-cpu: compiling ...")
+    step(0)
+    runs = [step(i + 1) for i in range(2)]
+    wall = min(r[0] for r in runs)
+    xrt = (runs[-1][1] / 25.0) / wall
+    _log(f"nano-cpu: {wall:.3f}s for {runs[-1][1] / 25.0:.0f}s audio "
+         f"→ {xrt:.2f}x realtime on {os.cpu_count()} core(s)")
+    print(json.dumps({"nano_cpu_xrt": round(xrt, 3),
+                      "cores": os.cpu_count()}))
 
 
 def main():
     results = {}
     ctx = bench_turbo(results)           # primary — must succeed
+    cfg_ctx = {}
+
+    def run_cfg520():
+        cfg_ctx.update(bench_cfg520(results))
+
+    def run_vc():
+        if not cfg_ctx:
+            cfg_ctx.update(bench_cfg520({}))
+        bench_vc(results, cfg_ctx)
 
     extras = [
         ("ttfa", lambda: bench_ttfa(results, ctx)),
-        ("batch8", lambda: bench_batch8(results, ctx)),
-        ("cfg520", lambda: bench_cfg520(results)),
+        ("batch8", lambda: _bench_batchN(results, ctx, 8)),
+        ("cfg520", run_cfg520),
+        ("vc", run_vc),
+        ("turbo_bf16", lambda: bench_turbo_bf16(results, ctx)),
+        ("batch16", lambda: _bench_batchN(results, ctx, 16)),
+        ("nano_cpu", lambda: bench_nano_cpu(results)),
+        ("batch32", lambda: _bench_batchN(results, ctx, 32)),
     ]
     # optional subset selection for local iteration: `python bench.py ttfa ...`
     if len(sys.argv) > 1:
@@ -289,6 +456,7 @@ def main():
     # (the driver parses the final JSON line)
     _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
           results["turbo_xrt"] / 20.0)
+    nano_target = lambda: 3.0 * min(results.get("nano_cpu_cores") or 1, 8) / 8.0
     emitters = {
         "ttfa": lambda: _emit("ttfa_ms", results["ttfa_ms"], "ms",
                               200.0 / results["ttfa_ms"]),
@@ -297,6 +465,20 @@ def main():
                                 results["batch8_xrt"] / 20.0),
         "cfg520": lambda: _emit("cfg520_xrt", results["cfg520_xrt"],
                                 "x_realtime", results["cfg520_xrt"] / 10.0),
+        "vc": lambda: _emit("vc_xrt", results["vc_xrt"], "x_realtime",
+                            results["vc_xrt"] / 10.0),
+        "turbo_bf16": lambda: _emit("turbo_xrt_bf16", results["turbo_xrt_bf16"],
+                                    "x_realtime",
+                                    results["turbo_xrt_bf16"] / 20.0),
+        "batch16": lambda: _emit("batch16_xrt", results["batch16_xrt"],
+                                 "x_realtime_aggregate",
+                                 results["batch16_xrt"] / 20.0),
+        "nano_cpu": lambda: _emit("nano_cpu_xrt", results["nano_cpu_xrt"],
+                                  "x_realtime",
+                                  results["nano_cpu_xrt"] / nano_target()),
+        "batch32": lambda: _emit("batch32_xrt", results["batch32_xrt"],
+                                 "x_realtime_aggregate",
+                                 results["batch32_xrt"] / 20.0),
     }
     for name, fn in extras:
         if _elapsed() > BUDGET_S:
@@ -313,4 +495,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--nano-cpu-child" in sys.argv:
+        nano_cpu_child()
+    else:
+        main()

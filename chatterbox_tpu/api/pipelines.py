@@ -222,6 +222,22 @@ class _TTSBase:
         wav = wav[0]
         return self.watermarker.apply_watermark(np.asarray(wav), sample_rate=self.sr)
 
+    def _decode_to_wav(self, res, *, cfg_slice: bool, append_sil: int = 0,
+                       n_timesteps: Optional[int] = None):
+        """Fused decode→vocode handoff: token filtering/packing happens on
+        device (models/s3gen/model._pack_from_decode), so the only mid-
+        pipeline host sync is the n_tokens scalar (bucket choice). Behavior
+        identical to the host tail the reference uses (tts.py:260-264,
+        tts_turbo.py:308-311). Returns (wav (T,), n_gen)."""
+        n = int(res.n_tokens)                     # the one host sync
+        wav, n_gen = self.s3gen.inference_from_decode(
+            res.tokens, n, self.conds.gen, self._next_key(),
+            n_timesteps=n_timesteps, cfg_slice=cfg_slice,
+            append_sil=append_sil, sos=self.hp.start_speech_token,
+            eos=self.hp.stop_speech_token)
+        wav = self.watermarker.apply_watermark(wav[0], sample_rate=self.sr)
+        return wav, n_gen
+
 
 class ChatterboxTTS(_TTSBase):
     """English 520M CFG pipeline (ref: tts.py:106-272)."""
@@ -273,18 +289,25 @@ class ChatterboxTTS(_TTSBase):
         sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=min_p,
                                 repetition_penalty=repetition_penalty,
                                 cfg_weight=cfg_weight)
-        # batch-1 when cfg_weight==0, like the reference (ref: tts.py:237-238)
-        res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
-                          jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
-                          self._next_key(), max_new_tokens=max_new_tokens,
-                          cfg_mode=True, cfg_batch2=cfg_weight > 0)
-        n = int(res.n_tokens)
-        tokens = np.asarray(res.tokens)[:n]
-        tokens = drop_invalid_tokens_sliced(tokens)          # ref: tts.py:260
-        tokens = tokens[tokens < SPEECH_VOCAB_SIZE]          # ref: tts.py:262
-        if len(tokens) == 0:
-            tokens = np.array([S3GEN_SIL], np.int32)
-        wav = self._tokens_to_wav(tokens[None])
+        from ..sampling.chunked import (BUCKETED_DECODE_THRESHOLD,
+                                        t3_generate_bucketed)
+        if cfg_weight > 0 and max_new_tokens >= BUCKETED_DECODE_THRESHOLD:
+            # long budgets: geometrically growing KV cache — attention reads
+            # O(actual length); token stream identical to one-shot
+            res = t3_generate_bucketed(
+                self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
+                self._next_key(), max_new_tokens=max_new_tokens,
+                cfg_mode=True)
+        else:
+            # batch-1 when cfg_weight==0, like the reference (ref: tts.py:237-238)
+            res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                              jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
+                              self._next_key(), max_new_tokens=max_new_tokens,
+                              cfg_mode=True, cfg_batch2=cfg_weight > 0)
+        # device-side tail: slice SOS..EOS, drop >= vocab, empty → silence
+        # (ref: tts.py:260-264)
+        wav, _ = self._decode_to_wav(res, cfg_slice=True)
         return wav[None]
 
 
@@ -376,11 +399,10 @@ class ChatterboxTurboTTS(_TTSBase):
                               jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
                               self._next_key(), max_new_tokens=max_new_tokens,
                               top_k=top_k, cfg_mode=False)
-        n = int(res.n_tokens)
-        tokens = np.asarray(res.tokens)[:n]
-        tokens = tokens[tokens < SPEECH_VOCAB_SIZE]          # ref: tts_turbo.py:308
-        tokens = np.concatenate([tokens, [S3GEN_SIL] * 3])   # ref: tts_turbo.py:310-311
-        wav = self._tokens_to_wav(tokens[None], n_timesteps=2)
+        # device-side tail: drop >= vocab + 3 silence tokens
+        # (ref: tts_turbo.py:308-311)
+        wav, _ = self._decode_to_wav(res, cfg_slice=False, append_sil=3,
+                                     n_timesteps=2)
         return wav[None]
 
     def generate_stream(self, text, audio_prompt_path=None, temperature=0.8,
@@ -419,6 +441,7 @@ class ChatterboxTurboTTS(_TTSBase):
                            cfg_mode=False)
         voc = StreamingVocoder(self.s3gen, self.conds.gen, self._next_key())
         total = 0
+        emitted_samples = 0
         while total < max_new_tokens:
             state, toks, n_new = t3_decode_chunk(
                 self.t3_params, self.hp, state, sp, n_steps=chunk_tokens,
@@ -432,7 +455,11 @@ class ChatterboxTurboTTS(_TTSBase):
             total += n
             chunk = voc.feed(toks, final=done)
             if len(chunk):
-                yield self.watermarker.apply_watermark(chunk, sample_rate=self.sr)
+                # offset keeps the chunked watermark phase-continuous with a
+                # one-shot embed of the concatenated stream
+                yield self.watermarker.apply_watermark(
+                    chunk, sample_rate=self.sr, offset=emitted_samples)
+                emitted_samples += len(chunk)
             if done:
                 break
 
@@ -499,18 +526,22 @@ class ChatterboxMultilingualTTS(_TTSBase):
                                 cfg_weight=cfg_weight)
         # NOTE: the reference MTL path always duplicates for CFG
         # (ref: mtl_tts.py:317) — keep batch-2 unconditionally here.
-        res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
-                          jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
-                          self._next_key(), max_new_tokens=max_new_tokens,
-                          cfg_mode=True)
-        n = int(res.n_tokens)
-        tokens = drop_invalid_tokens_sliced(np.asarray(res.tokens)[:n])
-        tokens = tokens[tokens < SPEECH_VOCAB_SIZE]
-        if len(tokens) == 0:
-            tokens = np.array([S3GEN_SIL], np.int32)
-        wav = self._tokens_to_wav(tokens[None])
+        from ..sampling.chunked import (BUCKETED_DECODE_THRESHOLD,
+                                        t3_generate_bucketed)
+        if max_new_tokens >= BUCKETED_DECODE_THRESHOLD:
+            res = t3_generate_bucketed(
+                self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
+                self._next_key(), max_new_tokens=max_new_tokens,
+                cfg_mode=True)
+        else:
+            res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
+                              jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
+                              self._next_key(), max_new_tokens=max_new_tokens,
+                              cfg_mode=True)
+        wav, n_gen = self._decode_to_wav(res, cfg_slice=True)
         # drop the final token's ~40 ms (ref: mtl_tts.py:348-352)
-        st_len = max(1, len(tokens) - 1)
+        st_len = max(1, n_gen - 1)
         wav = wav[: st_len * (S3GEN_SR // 25)]
         return wav[None]
 

@@ -27,11 +27,12 @@ from ...audio.resample import resample
 from .flow import flow_init, flow_inference, FlowDims, TOKEN_MEL_RATIO
 from .hift import hift_init, hift_inference, TOTAL_UPSAMPLE
 from .campplus import campplus_init, campplus_embed_wav
-from ..s3tok.model import (S3TokenizerConfig, s3tokenizer_init,
-                           s3tokenizer_tokenize)
+from ..s3tok.model import (S3TokenizerConfig, SPEECH_VOCAB_SIZE,
+                           s3tokenizer_init, s3tokenizer_tokenize)
 
 S3GEN_SR = 24_000
 S3_SR = 16_000
+SIL_TOKEN = 4299                     # silence speech token (ref: const.py:2)
 MEL_FLOOR = float(np.log(1e-5))      # matcha mel log-clamp floor
 TOKEN_BUCKETS = (64, 128, 192, 256, 384, 512, 640, 768, 1024, 1280, 1536)
 GEN_MEL_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072)
@@ -239,6 +240,85 @@ class S3GenEngine:
                                                      (0, 0, 0))
             return wav, new_cache, f0
 
+        def _pack_body(gen_tokens, n_raw, prompt_token, prompt_len,
+                       bucket, append_sil, cfg_slice, sos, eos, vocab):
+            """Device-side token post-processing + [prompt|gen] packing.
+
+            Replaces the host round-trip (fetch tokens → filter → repack →
+            re-upload) between the T3 decode program and the fused vocoder
+            program with one async dispatch, so the only host-device sync in
+            a full generate() is a scalar read of n_tokens for bucket choice.
+
+            gen_tokens: (L,) raw decode output; n_raw: () generated count.
+            Filtering matches the reference exactly:
+              * cfg_slice: keep tokens strictly between the first SOS and the
+                first EOS (ref: models/s3tokenizer/__init__.py:11-30), then
+                drop >= vocab (ref: tts.py:260-262); empty → one silence
+                token (ref: tts.py:263-264).
+              * turbo (cfg_slice=False): drop >= vocab, append `append_sil`
+                silence tokens (ref: tts_turbo.py:308-311).
+            Returns (row (1, bucket) packed [prompt|gen] tokens,
+                     token_len (1,) = prompt_len + n_gen).
+            """
+            L = gen_tokens.shape[0]
+            idx = jnp.arange(L)
+            in_range = idx < n_raw
+            if cfg_slice:
+                is_sos = (gen_tokens == sos) & in_range
+                is_eos = (gen_tokens == eos) & in_range
+                start = jnp.where(jnp.any(is_sos), jnp.argmax(is_sos) + 1, 0)
+                end = jnp.where(jnp.any(is_eos), jnp.argmax(is_eos), n_raw)
+                in_range = (idx >= start) & (idx < end)
+            valid = in_range & (gen_tokens < vocab)
+            pos = jnp.cumsum(valid) - 1              # dense target positions
+            n_valid = valid.sum()
+
+            row = jnp.zeros((bucket + 1,), jnp.int32)   # slot `bucket` = dump
+            ip = jnp.arange(prompt_token.shape[1])
+            row = row.at[jnp.where(ip < prompt_len, ip, bucket)].set(
+                prompt_token[0])
+            row = row.at[jnp.where(valid, prompt_len + pos, bucket)].set(
+                gen_tokens)
+            n_gen = n_valid
+            for i in range(append_sil):
+                row = row.at[prompt_len + n_gen + i].set(SIL_TOKEN)
+            n_gen = n_gen + append_sil
+            if cfg_slice and append_sil == 0:
+                # empty-output fallback: vocode one silence token
+                empty = n_gen == 0
+                row = row.at[prompt_len].set(
+                    jnp.where(empty, SIL_TOKEN, row[prompt_len]))
+                n_gen = jnp.maximum(n_gen, 1)
+            return row[None, :bucket], (prompt_len + n_gen)[None]
+
+        @functools.partial(jax.jit,
+                           static_argnames=("bucket", "append_sil", "cfg_slice",
+                                            "sos", "eos", "vocab"))
+        def _pack_from_decode(gen_tokens, n_raw, prompt_token, prompt_len,
+                              bucket, append_sil, cfg_slice, sos, eos, vocab):
+            return _pack_body(gen_tokens, n_raw, prompt_token, prompt_len,
+                              bucket, append_sil, cfg_slice, sos, eos, vocab)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("bucket", "append_sil", "cfg_slice",
+                                            "sos", "eos", "vocab",
+                                            "n_timesteps", "mel_bucket",
+                                            "pcm16"))
+        def _fused_from_decode(gen_tokens, n_raw, prompt_token, prompt_len,
+                               params, prompt_feat, embedding, key,
+                               bucket, append_sil, cfg_slice, sos, eos, vocab,
+                               n_timesteps, mel_bucket, pcm16):
+            """Token filter/pack + flow + HiFT in ONE program: over the axon
+            relay each dispatch/fetch round-trip costs ~10-30 ms — measured:
+            a separate pack dispatch + length sync cost ~38 ms/call, more
+            than the host repack it replaced. One dispatch, one fetch."""
+            row, token_len = _pack_body(gen_tokens, n_raw, prompt_token,
+                                        prompt_len, bucket, append_sil,
+                                        cfg_slice, sos, eos, vocab)
+            wav = _fused(params, row, token_len, prompt_len[None], prompt_feat,
+                         embedding, key, n_timesteps, mel_bucket, pcm16)
+            return wav, token_len
+
         @functools.partial(jax.jit, static_argnames=("max_len",))
         def _tokenize(params, wav, wav_len, max_len):
             return s3tokenizer_tokenize(params["tokenizer"], tok_cfg, wav,
@@ -255,6 +335,12 @@ class S3GenEngine:
         self._flow = _flow
         self._fused = _fused
         self._fused_stream = _fused_stream
+        self._pack_from_decode = _pack_from_decode
+        self._fused_from_decode = _fused_from_decode
+        # device-resident RefDict cache: voice conditioning is uploaded once
+        # per RefDict object, not once per call (prompt_feat alone is
+        # ~160 KB — a measurable per-call cost over the ~30 MB/s relay)
+        self._ref_cache: dict = {}
         self.pcm16_fetch = True   # fetch waveforms as int16 PCM (half bytes)
         self._hift = _hift
         self._hift_stream = _hift_stream
@@ -270,23 +356,28 @@ class S3GenEngine:
         ref_wav = np.asarray(ref_wav, np.float32).reshape(-1)
         if len(ref_wav) > 10 * ref_sr:
             print("WARNING: s3gen received ref longer than 10s")
-        # quantize length to 0.5 s to bound recompiles (tail truncation is
-        # perceptually immaterial for the voice prompt)
-        half_sec = ref_sr // 2
-        n = max(half_sec, (len(ref_wav) // half_sec) * half_sec)
-        ref_wav = ref_wav[:n]
 
         wav24 = ref_wav if ref_sr == S3GEN_SR else np.asarray(
             resample(jnp.asarray(ref_wav), ref_sr, S3GEN_SR))
         wav16 = ref_wav if ref_sr == S3_SR else np.asarray(
             resample(jnp.asarray(ref_wav), ref_sr, S3_SR))
 
-        ref_mels = np.asarray(self._mel24(jnp.asarray(wav24)[None]))  # (1,T2,80)
-        embedding = np.asarray(self._xvector(self.params, jnp.asarray(wav16)[None]))
+        # x-vector over a 0.5 s-quantized slice: bounds compiles to ≤20
+        # shapes; the global speaker average over ≥95% of the audio is the
+        # one place length quantization is immaterial (the prompt
+        # mel/tokens below use the FULL audio — no truncation there)
+        half_sec = S3_SR // 2
+        nq = max(half_sec, (len(wav16) // half_sec) * half_sec)
+        embedding = np.asarray(
+            self._xvector(self.params, jnp.asarray(wav16[:nq])[None]))
 
-        # pad to a whole number of 40 ms tokens (ref: s3tokenizer.py:54-76)
+        # pad to a whole number of 40 ms tokens (ref: s3tokenizer.py:54-76);
+        # the <40 ms zero tail mirrors the reference's mel==2·token repair
         n_tok = int(np.ceil(len(wav16) / (S3_SR / 25)))
         wav16p = np.pad(wav16, (0, int(n_tok * S3_SR / 25) - len(wav16)))
+        wav24p = np.pad(wav24, (0, max(0, n_tok * (S3GEN_SR // 25) - len(wav24))))
+        ref_mels = np.asarray(
+            self._mel24(jnp.asarray(wav24p[: n_tok * (S3GEN_SR // 25)])[None]))
         tokens, token_len = self._tokenize(
             self.params, jnp.asarray(wav16p)[None], jnp.asarray([len(wav16p)]),
             None)
@@ -333,9 +424,9 @@ class S3GenEngine:
             # meanflow pre-draws the generated-region noise (ref: s3gen.py:313-316)
             noise = jax.random.normal(k_noise, (1, bucket * TOKEN_MEL_RATIO, 80))
 
+        _, prompt_feat, embedding, _ = self.device_ref(ref)
         mels = self._flow(self.params, jnp.asarray(token), jnp.asarray([total]),
-                          jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
-                          jnp.asarray(ref.embedding), key, noise,
+                          jnp.asarray([P]), prompt_feat, embedding, key, noise,
                           n_timesteps=n_timesteps or self.n_timesteps,
                           noise_aligned=noise_aligned)
         # slice off the prompt region (ref: flow.py:196-197), host-side
@@ -411,15 +502,80 @@ class S3GenEngine:
         token, (P,), (G,), bucket, mel_bucket = pack_prompt_gen(
             [np.asarray(tokens_all).reshape(-1)], [ref])
         noise = noise_dev[:, : bucket * TOKEN_MEL_RATIO]
+        _, prompt_feat, embedding, _ = self.device_ref(ref)
         wav, new_cache, f0 = self._fused_stream(
             self.params, jnp.asarray(token), jnp.asarray([P + G]),
-            jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
-            jnp.asarray(ref.embedding), k_flow, noise, cache_source_dev,
+            jnp.asarray([P]), prompt_feat, embedding, k_flow, noise,
+            cache_source_dev,
             jnp.asarray(cache_len, jnp.int32),
             jnp.asarray(phase_carry, jnp.float32), k_hift,
             jnp.asarray([vocode_frames], jnp.int32),
             n_timesteps=self.n_timesteps, mel_bucket=mel_bucket)
         return wav, new_cache, f0
+
+    # ------------------------------------------------------------------
+    # device-resident reference conditioning
+    # ------------------------------------------------------------------
+    _REF_CACHE_CAP = 16
+
+    def device_ref(self, ref: RefDict):
+        """Device copies of a RefDict's arrays, uploaded once per object.
+
+        Returns (prompt_token (1,P) dev, prompt_feat (1,T,80) dev,
+        embedding (1,192) dev, P int). The cache holds the RefDict itself so
+        an id() can't be reused while its entry is live (FIFO, cap 16)."""
+        entry = self._ref_cache.get(id(ref))
+        if entry is None or entry[0] is not ref:
+            dev = (jnp.asarray(ref.prompt_token),
+                   jnp.asarray(ref.prompt_feat),
+                   jnp.asarray(ref.embedding),
+                   int(ref.prompt_token_len[0]))
+            if len(self._ref_cache) >= self._REF_CACHE_CAP:
+                self._ref_cache.pop(next(iter(self._ref_cache)))
+            self._ref_cache[id(ref)] = entry = (ref, dev)
+        return entry[1]
+
+    # ------------------------------------------------------------------
+    # decode → vocoder handoff, fully on device
+    # ------------------------------------------------------------------
+    def inference_from_decode(self, gen_tokens, n_tokens: int, ref: RefDict,
+                              key, *, n_timesteps: Optional[int] = None,
+                              cfg_slice: bool = False, append_sil: int = 0,
+                              sos: int = 6561, eos: int = 6562,
+                              vocab: int = SPEECH_VOCAB_SIZE):
+        """Vocode a T3 decode result without the tokens ever visiting the host.
+
+        gen_tokens: (L,) device int32 straight from the decode program;
+        n_tokens: generated count (the caller's one scalar sync, used only
+        to pick buckets). Token filtering/packing runs on device
+        (_pack_from_decode), the fused flow→HiFT program consumes the packed
+        row, and the host fetches one device-sliced waveform. Returns
+        (wav (1, T) float32 np, n_gen int) — n_gen = vocoded token count
+        after filtering (callers needing the reference's per-token trims use
+        it, e.g. mtl_tts.py:348-352).
+        """
+        prompt_token, prompt_feat, embedding, P = self.device_ref(ref)
+        n_upper = int(n_tokens) + append_sil + (1 if cfg_slice else 0)
+        n_upper = max(n_upper, 1)
+        bucket = _bucket(P + n_upper, TOKEN_BUCKETS)
+        mel_bucket = _bucket(n_upper * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+        gen_tokens = jnp.asarray(gen_tokens).reshape(-1).astype(jnp.int32)
+        wav, token_len = self._fused_from_decode(
+            gen_tokens, jnp.asarray(n_tokens, jnp.int32), prompt_token,
+            jnp.asarray(P, jnp.int32), self.params, prompt_feat, embedding,
+            key, bucket=bucket, append_sil=append_sil, cfg_slice=cfg_slice,
+            sos=sos, eos=eos, vocab=vocab,
+            n_timesteps=n_timesteps or self.n_timesteps,
+            mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
+        # ONE fetch: the n_upper-sliced wav (>= the real length) + the real
+        # token count; host trims the (zero-masked) tail after the fetch
+        out, tl = jax.device_get(
+            (wav[:, : n_upper * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE], token_len))
+        n_gen = int(tl[0]) - P
+        out = out[:, : n_gen * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE]
+        if self.pcm16_fetch:
+            out = out.astype(np.float32) / 32767.0
+        return out, n_gen
 
     # ------------------------------------------------------------------
     # full inference (ref: s3gen.py:329-362)
@@ -429,10 +585,10 @@ class S3GenEngine:
         """Single fused program (flow→slice→HiFT→fade), one device sync."""
         token, (P,), (G,), _, mel_bucket = pack_prompt_gen(
             [np.asarray(speech_tokens).reshape(-1)], [ref])
+        _, prompt_feat, embedding, _ = self.device_ref(ref)
         wav = self._fused(
             self.params, jnp.asarray(token), jnp.asarray([P + G]),
-            jnp.asarray([P]), jnp.asarray(ref.prompt_feat),
-            jnp.asarray(ref.embedding), key,
+            jnp.asarray([P]), prompt_feat, embedding, key,
             n_timesteps=n_timesteps or self.n_timesteps,
             mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
         out = np.asarray(wav[:, : G * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE])

@@ -1,0 +1,155 @@
+"""Fused decode→vocode handoff (models/s3gen/model.py `_pack_from_decode` +
+`inference_from_decode`).
+
+The handoff replaces the host tail (fetch tokens → drop_invalid → repack →
+re-upload) with an on-device filter/pack program chained into the fused
+vocoder. These tests pin the device filtering against the reference's host
+semantics (tts.py:260-264, tts_turbo.py:308-311,
+models/s3tokenizer/__init__.py:11-30) and the end audio against the staged
+host path.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chatterbox_tpu.api.pipelines import drop_invalid_tokens_sliced
+from chatterbox_tpu.models.s3gen.model import (
+    S3GenEngine, s3gen_init, RefDict, SIL_TOKEN)
+from chatterbox_tpu.models.s3gen.flow import FlowDims
+from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+
+SOS, EOS, VOCAB = 6561, 6562, 6561
+
+
+@pytest.fixture(scope="module")
+def engine():
+    dims = FlowDims.tiny_test()
+    params = s3gen_init(jax.random.key(0), meanflow=True,
+                        tok_cfg=S3TokenizerConfig.tiny_test(),
+                        dims=dims, hift_base=32)
+    return S3GenEngine(params, meanflow=True,
+                       tok_cfg=S3TokenizerConfig.tiny_test(), dims=dims)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    rng = np.random.default_rng(1)
+    P = 11
+    return RefDict(
+        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
+        prompt_token_len=np.asarray([P], np.int32),
+        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
+        embedding=rng.standard_normal((1, 192)).astype(np.float32),
+    )
+
+
+def host_tail(gen_tokens, n_raw, *, cfg_slice, append_sil):
+    """The reference's host-side token tail."""
+    toks = np.asarray(gen_tokens)[:n_raw]
+    if cfg_slice:
+        toks = drop_invalid_tokens_sliced(toks, SOS, EOS)
+    toks = toks[toks < VOCAB]
+    if append_sil:
+        toks = np.concatenate([toks, [SIL_TOKEN] * append_sil])
+    if cfg_slice and not append_sil and len(toks) == 0:
+        toks = np.array([SIL_TOKEN])
+    return toks.astype(np.int32)
+
+
+def run_pack(engine, ref, gen_tokens, n_raw, *, cfg_slice, append_sil,
+             bucket=64):
+    row, token_len = engine._pack_from_decode(
+        jnp.asarray(gen_tokens, jnp.int32), jnp.asarray(n_raw, jnp.int32),
+        jnp.asarray(ref.prompt_token), jnp.asarray(11, jnp.int32),
+        bucket=bucket, append_sil=append_sil, cfg_slice=cfg_slice,
+        sos=SOS, eos=EOS, vocab=VOCAB)
+    return np.asarray(row)[0], int(token_len[0])
+
+
+class TestPackFromDecode:
+    def check(self, engine, ref, gen, n_raw, *, cfg_slice, append_sil=0):
+        want = host_tail(gen, n_raw, cfg_slice=cfg_slice,
+                         append_sil=append_sil)
+        row, tl = run_pack(engine, ref, gen, n_raw, cfg_slice=cfg_slice,
+                           append_sil=append_sil)
+        P = 11
+        assert tl == P + len(want)
+        np.testing.assert_array_equal(row[:P], ref.prompt_token[0])
+        np.testing.assert_array_equal(row[P:tl], want)
+        assert (row[tl:] == 0).all()
+
+    def test_turbo_filters_and_appends_sil(self, engine, ref):
+        gen = np.array([5, 6562, 10, 6561, 20, 30, 7, 7], np.int32)
+        self.check(engine, ref, gen, 6, cfg_slice=False, append_sil=3)
+
+    def test_turbo_ignores_padding_past_n(self, engine, ref):
+        gen = np.array([5, 10, 6562, 6562, 6562, 6562], np.int32)
+        self.check(engine, ref, gen, 3, cfg_slice=False, append_sil=3)
+
+    def test_cfg_slices_sos_eos(self, engine, ref):
+        gen = np.array([5, 6561, 10, 20, 6562, 30, 40], np.int32)
+        self.check(engine, ref, gen, 7, cfg_slice=True)
+
+    def test_cfg_eos_only(self, engine, ref):
+        gen = np.array([10, 20, 30, 6562, 0, 0], np.int32)
+        self.check(engine, ref, gen, 4, cfg_slice=True)
+
+    def test_cfg_empty_falls_back_to_silence(self, engine, ref):
+        gen = np.array([6562, 0, 0], np.int32)
+        self.check(engine, ref, gen, 1, cfg_slice=True)
+
+    def test_cfg_no_sos_no_eos(self, engine, ref):
+        gen = np.array([10, 20, 30], np.int32)
+        self.check(engine, ref, gen, 3, cfg_slice=True)
+
+    def test_eos_past_n_not_seen(self, engine, ref):
+        # EOS beyond n_raw must not truncate the kept region
+        gen = np.array([10, 20, 30, 6562], np.int32)
+        self.check(engine, ref, gen, 3, cfg_slice=True)
+
+
+class TestInferenceFromDecode:
+    def test_matches_host_path_all_valid(self, engine, ref):
+        """All-valid tokens: buckets coincide → bit-identical audio."""
+        rng = np.random.default_rng(7)
+        n = 20
+        gen = np.zeros(32, np.int32)
+        gen[:n] = rng.integers(0, 60, n)
+        key = jax.random.key(3)
+
+        host_toks = host_tail(gen, n, cfg_slice=False, append_sil=3)
+        want = engine.inference(host_toks[None], ref, key)
+        got, n_gen = engine.inference_from_decode(
+            jnp.asarray(gen), n, ref, key, cfg_slice=False, append_sil=3,
+            sos=SOS, eos=EOS, vocab=VOCAB)
+        assert n_gen == len(host_toks) == n + 3
+        np.testing.assert_array_equal(np.asarray(want), got)
+
+    def test_matches_host_path_cfg_with_eos(self, engine, ref):
+        rng = np.random.default_rng(8)
+        n = 14
+        gen = np.zeros(32, np.int32)
+        gen[:n] = rng.integers(0, 60, n)
+        gen[n - 1] = EOS                     # decode's stopping token
+        key = jax.random.key(4)
+
+        host_toks = host_tail(gen, n, cfg_slice=True, append_sil=0)
+        assert len(host_toks) == n - 1
+        want = engine.inference(host_toks[None], ref, key)
+        got, n_gen = engine.inference_from_decode(
+            jnp.asarray(gen), n, ref, key, cfg_slice=True,
+            sos=SOS, eos=EOS, vocab=VOCAB)
+        assert n_gen == n - 1
+        # same token/mel buckets at these sizes → identical programs
+        np.testing.assert_allclose(np.asarray(want), got, atol=1e-4)
+
+    def test_device_ref_cache_reuses_upload(self, engine, ref):
+        a = engine.device_ref(ref)
+        b = engine.device_ref(ref)
+        assert a[0] is b[0] and a[1] is b[1] and a[2] is b[2]
+        # a different RefDict object gets its own entry
+        other = RefDict(ref.prompt_token.copy(), ref.prompt_token_len.copy(),
+                        ref.prompt_feat.copy(), ref.embedding.copy())
+        c = engine.device_ref(other)
+        assert c[0] is not a[0]

@@ -1,40 +1,179 @@
-"""Perth watermarking shim.
+"""Output watermarking.
 
 The reference applies resemble-perth's implicit neural watermark to every
 output wav (ref: tts.py:126,271; vc.py:29,103; tts_turbo.py:133,319;
-mtl_tts.py:175,354). perth is a CPU-side numpy post-process, orthogonal to
-the TPU compute path — we use it when installed and fall back to identity
-(with a one-time warning) when it isn't.
+mtl_tts.py:175,354) and claims near-100% detection through edits
+(ref: README.md:173-198). perth is a closed pip package; when it is not
+installed this framework ships its OWN embed+detect pair —
+`SpreadSpectrumWatermarker`, an envelope-shaped spread-spectrum watermark —
+so outputs are never silently unwatermarked. perth stays preferred when
+importable (drop-in behavior parity).
+
+Scheme (classic DSSS audio watermarking):
+  * a keyed ±1 chip sequence (period 2.0 s, 750 chips/s) is band-limited to
+    1–6 kHz and amplitude-shaped by the signal's local RMS envelope, then
+    added at ~-26 dB relative to the local signal — inaudible under
+    speech, silent where the signal is silent;
+  * detection whitens the received band by its envelope, folds it over the
+    2 s period (any-length audio, unknown offset), and circularly
+    correlates with the chip template via FFT; the peak's z-score against
+    the other lags is the detection statistic.
+Surviving 24k→16k→24k resampling is by construction (band < 8 kHz Nyquist);
+8-bit requantization adds flat noise well below the folded correlation
+gain (~sqrt(n_periods * samples_per_period) processing gain).
+
+This is a CPU-side numpy post-process, orthogonal to the TPU compute path,
+exactly like the reference's perth usage.
 """
 from __future__ import annotations
 
+import hashlib
 import logging
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
-_warned = False
+
+CHIP_RATE = 750           # chips per second
+PERIOD_S = 2.0            # chip-sequence period (integer samples at any sr)
+N_CHIPS = int(CHIP_RATE * PERIOD_S)
+BAND = (1000.0, 6000.0)   # embedding band, survives 16 kHz resampling
+ALPHA = 0.05              # watermark level vs local RMS (~-26 dB)
+ENV_WIN_S = 0.02          # envelope window (20 ms)
+DETECT_Z = 12.0           # detection threshold on the correlation z-score
+
+
+def _chips(key: str) -> np.ndarray:
+    """Keyed ±1 chip sequence (deterministic across processes)."""
+    seed = int.from_bytes(hashlib.sha256(key.encode()).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2, N_CHIPS).astype(np.float64) * 2.0 - 1.0
+
+
+def _bandpass(x: np.ndarray, sr: int, lo: float, hi: float) -> np.ndarray:
+    """Linear-phase FIR bandpass (windowed sinc), zero-delay via 'same' conv."""
+    hi = min(hi, 0.45 * sr)
+    numtaps = min(255, (len(x) // 2) * 2 - 1) if len(x) < 255 else 255
+    if numtaps < 9:
+        return x.astype(np.float64)
+    t = np.arange(numtaps) - (numtaps - 1) / 2
+    def sinc_lp(fc):
+        h = np.sinc(2 * fc / sr * t)
+        return h * np.hamming(numtaps)
+    h = sinc_lp(hi) * 2 * hi / sr - sinc_lp(lo) * 2 * lo / sr
+    return np.convolve(x.astype(np.float64), h, mode="same")
+
+
+def _envelope(x: np.ndarray, sr: int) -> np.ndarray:
+    """Local RMS over ~20 ms (moving average of x² via cumsum)."""
+    w = max(int(ENV_WIN_S * sr), 8)
+    c = np.cumsum(np.concatenate([[0.0], x.astype(np.float64) ** 2]))
+    lo = np.maximum(np.arange(len(x)) - w // 2, 0)
+    hi = np.minimum(np.arange(len(x)) + w // 2, len(x))
+    return np.sqrt((c[hi] - c[lo]) / np.maximum(hi - lo, 1))
+
+
+def _template(key: str, n: int, sr: int, offset: int = 0) -> np.ndarray:
+    """The chip waveform sampled at sr for n samples, starting at `offset`
+    samples into the (circular) 2 s period."""
+    idx = ((np.arange(n) + offset) % round(PERIOD_S * sr))
+    chip_idx = (idx * CHIP_RATE // sr).astype(np.int64) % N_CHIPS
+    return _chips(key)[chip_idx]
+
+
+class SpreadSpectrumWatermarker:
+    """Envelope-shaped DSSS watermark: embed + detect, any sample rate."""
+
+    def __init__(self, key: str = "chatterbox-tpu"):
+        self.key = key
+
+    # -- embed ----------------------------------------------------------
+    def apply_watermark(self, wav: np.ndarray, watermark=None,
+                        sample_rate: int = 24000,
+                        offset: int = 0) -> np.ndarray:
+        """offset: samples already emitted in this stream — keeps the chip
+        sequence phase-continuous when watermarking chunk-by-chunk
+        (generate_stream), so the concatenated stream detects like a
+        one-shot embed."""
+        x = np.asarray(wav, np.float64).reshape(-1)
+        if len(x) < sample_rate // 10:      # <100 ms: nothing to hide in
+            return np.asarray(wav, np.float32)
+        pn = _template(self.key, len(x), sample_rate, offset=offset)
+        carrier = _bandpass(pn, sample_rate, *BAND)
+        rms = np.sqrt(np.mean(carrier ** 2)) or 1.0
+        carrier = carrier / rms
+        env = _envelope(x, sample_rate)
+        out = x + ALPHA * env * carrier
+        peak = np.max(np.abs(out))
+        if peak > 1.0:                       # preserve headroom
+            out = out / peak
+        return out.astype(np.float32)
+
+    # -- detect ---------------------------------------------------------
+    def get_watermark(self, wav: np.ndarray, sample_rate: int = 24000,
+                      round_score: bool = True):
+        """Returns 1.0/0.0 (perth-style) or the raw z-score with
+        round_score=False."""
+        z = self.detection_score(wav, sample_rate)
+        if round_score:
+            return 1.0 if z >= DETECT_Z else 0.0
+        return z
+
+    def detection_score(self, wav: np.ndarray, sample_rate: int) -> float:
+        """Correlation-peak z-score of the folded, whitened received band
+        against the keyed template (all circular lags via FFT)."""
+        x = np.asarray(wav, np.float64).reshape(-1)
+        period = round(PERIOD_S * sample_rate)
+        if len(x) < period // 2:
+            return 0.0
+        bp = _bandpass(x, sample_rate, *BAND)
+        env = _envelope(x, sample_rate)
+        white = bp / (env + 1e-8)
+        # fold over the period (mean over full+partial periods)
+        n_full = len(white) // period
+        if n_full >= 1:
+            folded = white[: n_full * period].reshape(n_full, period).sum(0)
+            tail = white[n_full * period:]
+            folded[: len(tail)] += tail
+        else:
+            folded = np.zeros(period)
+            folded[: len(white)] = white
+        tmpl = _bandpass(_template(self.key, period, sample_rate),
+                         sample_rate, *BAND)
+        # circular cross-correlation via FFT. Measured score landscape
+        # (4–6 s material): embedded-key 49–52 across resample-16k /
+        # 8-bit-requantize / clip-offset / chunked-embed, 14.5 worst case
+        # (white-noise program material); wrong key 9.6; unmarked 3.6–4.9.
+        # DETECT_Z=12 sits between the wrong-key floor and the worst
+        # embedded case.
+        corr = np.fft.irfft(np.fft.rfft(folded) * np.conj(np.fft.rfft(tmpl)),
+                            n=period)
+        mu, sd = np.mean(corr), np.std(corr) + 1e-12
+        return float((np.max(corr) - mu) / sd)
 
 
 class Watermarker:
-    def __init__(self):
+    """The pipelines' watermarker: perth when installed (reference parity),
+    otherwise the built-in spread-spectrum pair. Never an identity."""
+
+    def __init__(self, key: str = "chatterbox-tpu"):
         self._perth = None
+        self._own = SpreadSpectrumWatermarker(key)
         try:
             import perth  # type: ignore
             self._perth = perth.PerthImplicitWatermarker()
         except ImportError:
-            global _warned
-            if not _warned:
-                logger.warning("resemble-perth not installed — outputs will NOT "
-                               "be watermarked")
-                _warned = True
+            logger.debug("resemble-perth not installed — using built-in "
+                         "spread-spectrum watermark")
 
-    def apply_watermark(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
+    def apply_watermark(self, wav: np.ndarray, sample_rate: int,
+                        offset: int = 0) -> np.ndarray:
         if self._perth is not None:
             return self._perth.apply_watermark(wav, sample_rate=sample_rate)
-        return wav
+        return self._own.apply_watermark(wav, sample_rate=sample_rate,
+                                         offset=offset)
 
     def get_watermark(self, wav: np.ndarray, sample_rate: int):
         if self._perth is not None:
             return self._perth.get_watermark(wav, sample_rate=sample_rate)
-        raise RuntimeError("resemble-perth not installed")
+        return self._own.get_watermark(wav, sample_rate=sample_rate)

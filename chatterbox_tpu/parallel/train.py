@@ -62,6 +62,53 @@ def t3_train_step(state: TrainState, hp: T3Config, optimizer,
     return TrainState(params, opt_state), {"loss_text": lt, "loss_speech": ls}
 
 
+def flow_train_step(state: TrainState, optimizer, key,
+                    token, token_len, feat, feat_len, embedding,
+                    dims, remat: bool = True):
+    """One AdamW step on the masked CFM loss (ref dormant method:
+    flow.py:86-129 + flow_matching.py:147-193)."""
+    from ..models.s3gen.flow import flow_compute_loss
+
+    def loss_fn(params):
+        return flow_compute_loss(
+            params, key, token=token, token_len=token_len, feat=feat,
+            feat_len=feat_len, embedding=embedding, dims=dims, remat=remat)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state), {"loss_cfm": loss}
+
+
+def build_sharded_flow_train_step(dims, mesh, lr: float = 1e-4,
+                                  remat: bool = True, **opt_kw):
+    """Flow (S3Gen token→mel) fine-tuning over the data axis: params
+    replicated (the flow stack is ~1/4 the T3's size — dp is the right
+    parallelism), batch sharded over "data". Returns (jitted step,
+    initial-state factory)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..models.s3gen.flow import flow_init
+
+    optimizer = make_optimizer(lr, **opt_kw)
+    repl = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, key, token, token_len, feat, feat_len, embedding):
+        token = jax.lax.with_sharding_constraint(token, batch_sharding)
+        feat = jax.lax.with_sharding_constraint(feat, batch_sharding)
+        return flow_train_step(state, optimizer, key, token, token_len,
+                               feat, feat_len, embedding, dims, remat=remat)
+
+    def init_state(key, meanflow: bool = False):
+        params = flow_init(key, meanflow=meanflow, dims=dims)
+        params = jax.device_put(params, repl)
+        opt_state = optimizer.init(params)
+        return TrainState(params, opt_state)
+
+    return step, init_state
+
+
 def build_sharded_train_step(hp: T3Config, mesh, lr: float = 1e-4, **opt_kw):
     """Returns (jitted step, initial sharded TrainState factory)."""
     optimizer = make_optimizer(lr, **opt_kw)

@@ -118,6 +118,36 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+class KVCacheInt8(NamedTuple):
+    """Int8-quantized KV cache: values in int8 + one bf16 scale per
+    (layer, row, head, position). Halves decode-attention HBM traffic vs
+    the bf16 cache (the decode step's dominant read at long contexts); the
+    dequantize folds into the attention matmul's operand read. Quality is
+    measured, not assumed — tools/ab_int8.py reports logit error and token
+    divergence vs the bf16 cache at real sizes."""
+    k_q: jnp.ndarray   # (L, B, H_kv, T_max, head_dim) int8
+    v_q: jnp.ndarray
+    k_s: jnp.ndarray   # (L, B, H_kv, T_max, 1) bf16 per-position scales
+    v_s: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, cfg: BackboneConfig, batch: int, max_len: int,
+              dtype=jnp.bfloat16) -> "KVCacheInt8":
+        kv_heads = cfg.num_kv_heads if not cfg.is_gpt else cfg.num_heads
+        shape = (cfg.num_layers, batch, kv_heads, max_len, cfg.head_dim)
+        sshape = shape[:-1] + (1,)
+        return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                   jnp.zeros(sshape, dtype), jnp.zeros(sshape, dtype))
+
+
+def quantize_kv(x: jnp.ndarray):
+    """x (B, H, t, D) -> (int8 values, (B, H, t, 1) scales). Symmetric
+    per-position max-abs scaling (the head_dim axis shares one scale)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(s, 1e-8))
+    return jnp.clip(q, -127, 127).astype(jnp.int8), s
+
+
 def _write_cache(cache_layer: jnp.ndarray, new: jnp.ndarray, start: jnp.ndarray):
     """cache_layer (B, H, Tmax, D) <- new (B, H, t, D) at offset `start`.
 
@@ -273,7 +303,11 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
         cos = cos.astype(x.dtype)
         sin = sin.astype(x.dtype)
 
-    all_k, all_v = cache.k, cache.v
+    int8_cache = isinstance(cache, KVCacheInt8)
+    if int8_cache:
+        all_k, all_v, all_ks, all_vs = cache
+    else:
+        all_k, all_v = cache.k, cache.v
     shared_start = start.ndim == 0
     for i, lp in enumerate(params["layers"]):
         # fused decode-layer fast path: two pallas launches per layer
@@ -320,17 +354,32 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
             k = apply_rope(k, cos, sin)
 
         li = jnp.asarray(i, jnp.int32)
+        if int8_cache:
+            k, ks = quantize_kv(k)
+            v, vs = quantize_kv(v)
+            ks, vs = ks.astype(all_ks.dtype), vs.astype(all_vs.dtype)
         if shared_start:
             all_k = _write_cache_full(all_k, k, li, start)
             all_v = _write_cache_full(all_v, v, li, start)
+            if int8_cache:
+                all_ks = _write_cache_full(all_ks, ks, li, start)
+                all_vs = _write_cache_full(all_vs, vs, li, start)
         else:
             ck_l = _write_cache(all_k[i], k, start)
             cv_l = _write_cache(all_v[i], v, start)
             all_k = all_k.at[i].set(ck_l)
             all_v = all_v.at[i].set(cv_l)
+            if int8_cache:
+                all_ks = all_ks.at[i].set(_write_cache(all_ks[i], ks, start))
+                all_vs = all_vs.at[i].set(_write_cache(all_vs[i], vs, start))
 
-        ck = all_k[i].astype(q.dtype)
-        cv = all_v[i].astype(q.dtype)
+        if int8_cache:
+            # dequant folds into the attention matmul's operand read
+            ck = (all_k[i].astype(q.dtype) * all_ks[i].astype(q.dtype))
+            cv = (all_v[i].astype(q.dtype) * all_vs[i].astype(q.dtype))
+        else:
+            ck = all_k[i].astype(q.dtype)
+            cv = all_v[i].astype(q.dtype)
         if not cfg.is_gpt and cfg.num_kv_heads != cfg.num_heads:
             rep = cfg.num_heads // cfg.num_kv_heads
             ck = jnp.repeat(ck, rep, axis=1)
@@ -365,6 +414,8 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
         x = nn.layer_norm(params["ln_f"], x, cfg.layer_norm_eps)
     else:
         x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    if int8_cache:
+        return x, KVCacheInt8(all_k, all_v, all_ks, all_vs)
     return x, KVCache(all_k, all_v)
 
 

@@ -33,10 +33,12 @@ class DecodeState(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("hp", "max_new_tokens", "cfg_mode"))
+                   static_argnames=("hp", "max_new_tokens", "cfg_mode",
+                                    "kv_int8"))
 def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                text_tokens: jnp.ndarray, text_len: jnp.ndarray, key,
-               *, max_new_tokens: int = 1000, cfg_mode: bool = True) -> DecodeState:
+               *, max_new_tokens: int = 1000, cfg_mode: bool = True,
+               kv_int8: bool = False) -> DecodeState:
     """Build the packed prefix, run it through the backbone, return the
     decode state (same packing scheme as sampling/decode.py)."""
     cfg = hp.backbone
@@ -65,7 +67,8 @@ def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
 
     prefill_len = Lc + text_len + 1
     lens = jnp.full((B,), prefill_len, jnp.int32)
-    cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
+    cache_cls = bb.KVCacheInt8 if kv_int8 else bb.KVCache
+    cache = cache_cls.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, t_max, lens)
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
     hidden, cache = bb.backbone_apply_unrolled(
@@ -96,7 +99,8 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
     cfg = hp.backbone
     B = 2 if cfg_mode else 1
     V = hp.speech_tokens_dict_size
-    t_max = state.cache.k.shape[3]
+    t_max = state.cache[0].shape[3]     # first field is (L,B,H,T,D) for
+                                        # both KVCache and KVCacheInt8
     start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
 
     class _C(NamedTuple):
@@ -167,12 +171,13 @@ def segment_schedule(max_new_tokens: int, first_segment: int) -> list:
 def grow_cache(state: DecodeState, *, new_t_max: int) -> DecodeState:
     """Pad the KV cache's time axis to `new_t_max` (bucketed cache growth).
     No donation: the grown cache has a different shape, so the input
-    buffers can't be reused anyway (donating only produces warnings)."""
-    k, v = state.cache.k, state.cache.v
-    pad = new_t_max - k.shape[3]
+    buffers can't be reused anyway (donating only produces warnings).
+    Works for both KVCache and KVCacheInt8 (every field has time axis 3)."""
+    pad = new_t_max - state.cache[0].shape[3]
     assert pad >= 0
     spec = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
-    return state._replace(cache=bb.KVCache(jnp.pad(k, spec), jnp.pad(v, spec)))
+    cache = type(state.cache)(*(jnp.pad(a, spec) for a in state.cache))
+    return state._replace(cache=cache)
 
 
 def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
@@ -180,7 +185,7 @@ def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                          sp: S.SamplerParams, key,
                          *, max_new_tokens: int = 1000, top_k: int = 1000,
                          cfg_mode: bool = True, ignore_eos: bool = False,
-                         first_segment: int = 64):
+                         first_segment: int = 64, kv_int8: bool = False):
     """One-shot-equivalent generation with a geometrically growing KV cache.
 
     sampling/decode.t3_generate allocates the cache at P_pad+max_new_tokens
@@ -202,7 +207,8 @@ def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                          n_tokens=jnp.zeros((), jnp.int32))
     segs = segment_schedule(max_new_tokens, first_segment)
     state = t3_prefill(params, hp, cond, text_tokens, text_len, key,
-                       max_new_tokens=segs[0], cfg_mode=cfg_mode)
+                       max_new_tokens=segs[0], cfg_mode=cfg_mode,
+                       kv_int8=kv_int8)
     Lc = t3m.cond_len(hp)
     P_pad = Lc + text_tokens.shape[1] + 1
     cap = segs[0]

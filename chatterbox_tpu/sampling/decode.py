@@ -40,7 +40,7 @@ class GenResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("hp", "max_new_tokens", "top_k", "cfg_mode", "cfg_batch2",
-                     "ignore_eos", "fused_attn"),
+                     "ignore_eos", "fused_attn", "kv_int8"),
 )
 def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                 text_tokens: jnp.ndarray, text_len: jnp.ndarray,
@@ -48,7 +48,8 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                 *, max_new_tokens: int = 1000, top_k: int = 0,
                 cfg_mode: bool = True, cfg_batch2: bool = True,
                 ignore_eos: bool = False,
-                fused_attn: bool | None = None) -> GenResult:
+                fused_attn: bool | None = None,
+                kv_int8: bool = False) -> GenResult:
     """Generate speech tokens for one utterance.
 
     Args:
@@ -101,7 +102,10 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     lens = jnp.full((B,), prefill_len, jnp.int32)
 
     # ---- prefill ----------------------------------------------------------
-    cache = bb.KVCache.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
+    # kv_int8: int8 cache halves decode-attention HBM reads; quality A/B is
+    # one command — tools/ab_int8.py
+    cache_cls = bb.KVCacheInt8 if kv_int8 else bb.KVCache
+    cache = cache_cls.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, t_max, lens)
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))
     hidden, cache = bb.backbone_apply_unrolled(

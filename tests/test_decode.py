@@ -71,3 +71,44 @@ class TestGenerate:
         assert text_bucket(5) == 32
         assert text_bucket(33) == 64
         assert text_bucket(2048) == 2048
+
+
+class TestInt8KVCache:
+    """Int8 KV cache (backbone.KVCacheInt8): decode runs, stays numerically
+    close to the bf16 cache, and the quantize/dequant round-trip is tight."""
+
+    def test_quantize_kv_roundtrip(self):
+        from chatterbox_tpu.models.t3 import backbone as bb
+        x = jax.random.normal(jax.random.key(0), (2, 4, 8, 16)) * 3.0
+        q, s = bb.quantize_kv(x)
+        back = q.astype(jnp.float32) * s
+        err = jnp.max(jnp.abs(back - x) / (jnp.max(jnp.abs(x)) + 1e-9))
+        assert float(err) < 1.0 / 120    # half-LSB of the per-row scale
+
+    def test_generate_with_int8_cache_close_to_bf16(self):
+        hp, params, cond = _setup("gpt2")
+        text = jnp.pad(jnp.arange(1, 9, dtype=jnp.int32)[None], ((0, 0), (0, 8)))
+        sp = SamplerParams.make(temperature=1e-4, top_p=1.0,
+                                repetition_penalty=1.0)
+        kw = dict(max_new_tokens=12, top_k=0, cfg_mode=False, ignore_eos=True)
+        a = t3_generate(params, hp, cond, text, jnp.asarray(8), sp,
+                        jax.random.key(3), **kw)
+        b = t3_generate(params, hp, cond, text, jnp.asarray(8), sp,
+                        jax.random.key(3), kv_int8=True, **kw)
+        # near-greedy sampling: int8 cache error must not flip tiny-model
+        # argmaxes on most steps (exact equality is content-dependent)
+        same = np.mean(np.asarray(a.tokens) == np.asarray(b.tokens))
+        assert same >= 0.75, (a.tokens, b.tokens)
+
+    def test_chunked_with_int8_cache_and_growth(self):
+        from chatterbox_tpu.sampling.chunked import t3_generate_bucketed
+        hp, params, cond = _setup("llama")
+        text = jnp.pad(jnp.arange(1, 9, dtype=jnp.int32)[None], ((0, 0), (0, 8)))
+        sp = SamplerParams.make(temperature=0.8, top_p=0.9, min_p=0.0,
+                                repetition_penalty=1.2, cfg_weight=0.5)
+        res = t3_generate_bucketed(params, hp, cond, text, jnp.asarray(8), sp,
+                                   jax.random.key(5), max_new_tokens=20,
+                                   cfg_mode=True, ignore_eos=True,
+                                   first_segment=8, kv_int8=True)
+        assert int(res.n_tokens) == 20
+        assert np.asarray(res.tokens).shape == (20,)

@@ -160,11 +160,18 @@ class StreamingVocoder:
         P = int(self.ref.prompt_token_len[0])
         win_tokens = self._tokens[:, t0:win_end]
         # aligned noise for [prompt | window]: prompt noise + gen noise at the
-        # window's absolute offset, from the one fixed buffer
+        # window's absolute offset, from the one fixed buffer. The gen region
+        # indexes the buffer CYCLICALLY — unbounded narration reuses noise
+        # after ~164 s, and overlapping windows still see identical noise for
+        # a given absolute token (index depends only on the absolute frame),
+        # so cross-window continuity is preserved.
         off = 2 * (P + t0)
+        M = self._noise.shape[1]
+        need = M - 2 * P          # ≥ any window bucket's gen region
+        idx = (off + np.arange(need)) % M
         noise = jnp.concatenate(
             [self._noise[:, : 2 * P],
-             self._noise[:, off:]], axis=1)
+             self._noise[:, idx]], axis=1)
         gen_mels, _ = self.engine.flow_to_mel(
             win_tokens, self.ref, self._k_flow, noise=noise)
         # frames for tokens [emitted, upto) live at window-relative

@@ -78,6 +78,19 @@ class TestCangjie:
         conv = ChineseCangjieConverter(tmp_path)  # no mapping file
         assert conv("你好") == "你好"
 
+    def test_homophone_index_suffix(self, tmp_path):
+        """Two glyphs sharing one code: the later one carries its index
+        (ref disambiguation scheme: tokenizer.py:208-216)."""
+        mapping = ["你\tonf", "妳\tonf"]
+        (tmp_path / "Cangjie5_TC.json").write_text(
+            json.dumps(mapping), encoding="utf-8")
+        conv = ChineseCangjieConverter(tmp_path)
+        first, second = conv("你"), conv("妳")
+        assert first != second
+        assert "[cj_1]" in second and "[cj_1]" not in first
+        # unmapped glyphs pass through untouched alongside mapped ones
+        assert conv("你X") == first + "X"
+
 
 class TestMTLTokenizer:
     def test_language_prefix(self, bpe_file):

@@ -124,7 +124,7 @@ def bench_turbo(results):
         t1 = time.perf_counter()
         wav, n_gen = engine.inference_from_decode(
             res.tokens, n, ref, jax.random.key(seed + 1000),
-            cfg_slice=False, append_sil=0, vocab=6561)
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
         assert np.isfinite(wav).all()
         t2 = time.perf_counter()
         return t1 - t0, t2 - t1, n_gen
@@ -223,11 +223,14 @@ def bench_cfg520(results):
                           cfg_mode=True, ignore_eos=True)
         n = int(res.n_tokens)
         t1 = time.perf_counter()
-        # cfg_slice=False: ignore_eos random tokens carry no EOS semantics —
-        # keep the vocoded length pinned at ~N_TOKENS for a stable metric
+        # cfg_slice=False + vocab=dict_size: ignore_eos random tokens carry
+        # no EOS/vocab semantics — keep the vocoded length pinned at
+        # N_TOKENS so the metric divides by the same 10 s of audio as r2
+        # (the 520M dict is 8194; filtering at 6561 would drop ~20 % of
+        # RANDOM tokens, something real checkpoints don't do)
         wav, n_gen = engine.inference_from_decode(
             res.tokens, n, ref, jax.random.key(seed + 1000),
-            cfg_slice=False, append_sil=0, vocab=6561)
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
         assert np.isfinite(wav).all()
         t2 = time.perf_counter()
         return t1 - t0, t2 - t1, n_gen
@@ -294,7 +297,7 @@ def bench_turbo_bf16(results, ctx):
         t1 = time.perf_counter()
         wav, n_gen = engine.inference_from_decode(
             res.tokens, n, ref, jax.random.key(seed + 1000),
-            cfg_slice=False, append_sil=0, vocab=6561)
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
         assert np.isfinite(wav).all()
         t2 = time.perf_counter()
         return t1 - t0, t2 - t1, n_gen
@@ -410,7 +413,7 @@ def nano_cpu_child():
         n = int(res.n_tokens)
         wav, n_gen = engine.inference_from_decode(
             res.tokens, n, ref, jax.random.key(seed + 1000),
-            cfg_slice=False, append_sil=0, vocab=6561)
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
         assert np.isfinite(wav).all()
         return time.perf_counter() - t0, n_gen
 

@@ -100,10 +100,14 @@ def flow_inference(params: dict, *,
     mask_tok = jnp.arange(T_tok)[None] < token_len[:, None]
     x = nn.embedding(params["input_embedding"], token) * mask_tok[..., None]
 
-    # conformer encode + 2× upsample (ref: flow.py:169)
-    h, h_lens = upsample_encoder_apply(params["encoder"], x, token_len,
+    # conformer encode + 2× upsample (ref: flow.py:169). If the engine
+    # cast the encoder weights (enc_dtype knob), run the encoder in that
+    # dtype; mu and everything downstream stay fp32.
+    enc_dt = params["encoder"]["after_norm"]["g"].dtype
+    h, h_lens = upsample_encoder_apply(params["encoder"], x.astype(enc_dt),
+                                       token_len,
                                        d=dims.enc_dim, n_heads=dims.enc_heads)
-    mu = nn.linear(params["encoder_proj"], h)                    # (B, 2T_tok, 80)
+    mu = nn.linear(params["encoder_proj"], h.astype(jnp.float32))  # (B, 2T_tok, 80)
 
     T_mel = mu.shape[1]
     mel_positions = jnp.arange(T_mel)[None]

@@ -100,20 +100,29 @@ class S3GenEngine:
                  tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
                  n_timesteps: Optional[int] = None,
                  dims: FlowDims = FlowDims(),
-                 cfm_dtype=None):
+                 cfm_dtype=None, enc_dtype=None):
         """cfm_dtype: optional CFM-estimator compute dtype (e.g.
         jnp.bfloat16) — an opt-in speed knob; fp32 (the default) matches the
         reference's estimator_dtype marker (ref: s3gen.py:259). When set,
         the UNet weights are stored in that dtype too (halves their HBM
-        reads per solver step)."""
-        if cfm_dtype is not None:
+        reads per solver step).
+        enc_dtype: same knob for the upsample-conformer encoder weights
+        (the flow front); fp32 default for parity. Measured r3: see
+        DESIGN.md before enabling."""
+        def _cast_sub(tree, dt):
+            return jax.tree.map(
+                lambda l: (l.astype(dt) if hasattr(l, "dtype")
+                           and jnp.issubdtype(l.dtype, jnp.floating) else l),
+                tree)
+        if cfm_dtype is not None or enc_dtype is not None:
             params = dict(params)
             params["flow"] = dict(params["flow"])
-            params["flow"]["decoder"] = jax.tree.map(
-                lambda l: (l.astype(cfm_dtype)
-                           if hasattr(l, "dtype")
-                           and jnp.issubdtype(l.dtype, jnp.floating) else l),
-                params["flow"]["decoder"])
+            if cfm_dtype is not None:
+                params["flow"]["decoder"] = _cast_sub(
+                    params["flow"]["decoder"], cfm_dtype)
+            if enc_dtype is not None:
+                params["flow"]["encoder"] = _cast_sub(
+                    params["flow"]["encoder"], enc_dtype)
         self.params = params
         self.meanflow = meanflow
         self.cfm_dtype = cfm_dtype

@@ -391,8 +391,15 @@ def nano_cpu_child():
     assert jax.devices()[0].platform == "cpu", jax.devices()
     hp = T3Config.nano()
     k1, k2 = jax.random.split(jax.random.key(0))
-    _log("nano-cpu: building Nano T3 (GPT2-small, f32) ...")
+    dt = os.environ.get("CHATTERBOX_NANO_CPU_DTYPE", "f32")
+    _log(f"nano-cpu: building Nano T3 (GPT2-small, {dt}) ...")
     t3_params = t3m.t3_init(k1, hp)
+    if dt == "bf16":
+        # measured SLOWER on XLA:CPU (12.1 vs 11.0 s decode for 125 tokens):
+        # the bf16->f32 conversion materializes instead of saving bandwidth.
+        # f32 stays the default; knob kept for other hosts.
+        from chatterbox_tpu.utils.dtypes import cast_params
+        t3_params = cast_params(t3_params, jnp.bfloat16)
     _log("nano-cpu: building S3Gen (meanflow) ...")
     engine = S3GenEngine(s3gen_init(k2, meanflow=True), meanflow=True)
     cond = t3m.T3CondArrays(
@@ -411,11 +418,12 @@ def nano_cpu_child():
                           jax.random.key(seed), max_new_tokens=NANO_CPU_TOKENS,
                           top_k=1000, cfg_mode=False, ignore_eos=True)
         n = int(res.n_tokens)
+        t1 = time.perf_counter()
         wav, n_gen = engine.inference_from_decode(
             res.tokens, n, ref, jax.random.key(seed + 1000),
             cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
         assert np.isfinite(wav).all()
-        return time.perf_counter() - t0, n_gen
+        return time.perf_counter() - t0, n_gen, t1 - t0
 
     _log("nano-cpu: compiling ...")
     step(0)
@@ -423,6 +431,7 @@ def nano_cpu_child():
     wall = min(r[0] for r in runs)
     xrt = (runs[-1][1] / 25.0) / wall
     _log(f"nano-cpu: {wall:.3f}s for {runs[-1][1] / 25.0:.0f}s audio "
+         f"(decode {min(r[2] for r in runs):.3f}s) "
          f"→ {xrt:.2f}x realtime on {os.cpu_count()} core(s)")
     print(json.dumps({"nano_cpu_xrt": round(xrt, 3),
                       "cores": os.cpu_count()}))

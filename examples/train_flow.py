@@ -47,6 +47,53 @@ def synthetic_batches(batch: int, t_tok: int, seed: int = 0):
                jnp.asarray(2 * tl), jnp.asarray(emb))
 
 
+def real_batches(data_dir, batch: int, t_tok: int, engine, sr_expect=None):
+    """Real paired data from a directory of WAVs: the native threaded loader
+    (runtime/dataload.cpp) prefetches clips while the device extracts
+    features — S3 tokens (16 kHz), 24 kHz matcha mels, CAMPPlus x-vector —
+    exactly the triplet the reference's dormant flow trainer consumes
+    (ref: flow.py:86-117). Clips are cropped to t_tok worth of audio."""
+    import jax.numpy as jnp
+    from chatterbox_tpu.runtime import WavLoader
+    from chatterbox_tpu.audio.resample import resample
+    from chatterbox_tpu.models.s3gen.model import S3_SR, S3GEN_SR
+
+    paths = sorted(Path(data_dir).rglob("*.wav"))
+    if not paths:
+        raise SystemExit(f"no .wav files under {data_dir}")
+    max_frames = int(t_tok / 25 * 48000) + 48000   # generous native-rate cap
+    loader = WavLoader(paths, n_threads=4, max_frames=max_frames,
+                       epochs=1_000_000, seed=0)
+    print(f"data: {len(paths)} wavs (native loader: {loader.native})")
+
+    def one(wav):
+        wav = jnp.asarray(wav)
+        sr = sr_expect or 24000
+        w16 = np.asarray(resample(wav, sr, S3_SR))[: t_tok * (S3_SR // 25)]
+        w24 = np.asarray(resample(wav, sr, S3GEN_SR))[: t_tok * (S3GEN_SR // 25)]
+        tok, tl = engine.tokenize(w16)
+        feat = np.asarray(engine._mel24(jnp.asarray(w24)[None]))
+        emb = np.asarray(engine._xvector(engine.params, jnp.asarray(w16)[None]))
+        return tok[0], int(tl[0]), feat[0], emb[0]
+
+    it = iter(loader)
+    while True:
+        token = np.zeros((batch, t_tok), np.int32)
+        tlens = np.zeros((batch,), np.int32)
+        feat = np.zeros((batch, 2 * t_tok, 80), np.float32)
+        emb = np.zeros((batch, 192), np.float32)
+        for b in range(batch):
+            wav, _ = next(it)
+            tk, tl, ft, em = one(wav)
+            n = min(tl, t_tok)
+            token[b, :n] = tk[:n]
+            tlens[b] = n
+            feat[b, : min(len(ft), 2 * t_tok)] = ft[: 2 * t_tok]
+            emb[b] = em
+        yield (jnp.asarray(token), jnp.asarray(tlens), jnp.asarray(feat),
+               jnp.asarray(2 * tlens), jnp.asarray(emb))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--steps", type=int, default=100)
@@ -56,6 +103,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny dims (CPU-fast; omit for the real S3Gen size)")
+    ap.add_argument("--data", type=Path, default=None,
+                    help="directory of 24 kHz WAVs — real features via the "
+                         "native prefetching loader (default: synthetic)")
     ap.add_argument("--ckpt-dir", type=Path, default=Path("/tmp/flow_ckpt"))
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -89,7 +139,17 @@ def main():
             jax.device_put(load_pytree(o_path, state.opt_state)))
         print(f"resumed from {args.ckpt_dir}")
 
-    batches = synthetic_batches(args.batch, args.tokens)
+    if args.data is not None:
+        from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        tok_cfg = (S3TokenizerConfig.tiny_test() if args.tiny
+                   else S3TokenizerConfig())
+        engine = S3GenEngine(
+            s3gen_init(jax.random.key(9), tok_cfg=tok_cfg, dims=dims),
+            tok_cfg=tok_cfg, dims=dims)
+        batches = real_batches(args.data, args.batch, args.tokens, engine)
+    else:
+        batches = synthetic_batches(args.batch, args.tokens)
     t0 = time.perf_counter()
     for i in range(args.steps):
         token, tl, feat, fl, emb = next(batches)

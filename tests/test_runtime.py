@@ -56,3 +56,80 @@ class TestWavIO:
         save_wav(p, wav, 16000)
         out = load_audio(p, 16000)
         np.testing.assert_allclose(out, wav, atol=1e-6)
+
+
+class TestWavLoader:
+    """Threaded native data loader (runtime/dataload.cpp)."""
+
+    def _make(self, tmp_path, n=10):
+        from chatterbox_tpu.utils.audio_io import save_wav
+        paths = []
+        for i in range(n):
+            w = (0.1 * np.sin(np.arange(800 + 50 * i) * 0.05)).astype(np.float32)
+            p = tmp_path / f"{i}.wav"
+            save_wav(str(p), w, 16000)
+            paths.append(p)
+        return paths
+
+    def test_native_loads_all_epochs(self, tmp_path):
+        if runtime.get_dataload_lib() is None:
+            pytest.skip("no native toolchain")
+        paths = self._make(tmp_path)
+        ld = runtime.WavLoader(paths, n_threads=3, max_frames=4000, epochs=2,
+                               seed=1)
+        assert ld.native
+        items = list(ld)
+        assert len(items) == 20
+        # every file appears exactly twice
+        counts = np.bincount([pid for _, pid in items], minlength=10)
+        assert (counts == 2).all()
+        ld.close()
+
+    def test_unreadable_files_skipped(self, tmp_path):
+        if runtime.get_dataload_lib() is None:
+            pytest.skip("no native toolchain")
+        paths = self._make(tmp_path, n=4) + [tmp_path / "nope.wav"]
+        ld = runtime.WavLoader(paths, n_threads=2, max_frames=4000, epochs=1)
+        assert len(list(ld)) == 4
+        assert ld.errors() == 1
+
+    def test_single_thread_order_deterministic(self, tmp_path):
+        if runtime.get_dataload_lib() is None:
+            pytest.skip("no native toolchain")
+        paths = self._make(tmp_path)
+        a = [p for _, p in runtime.WavLoader(paths, n_threads=1,
+                                             max_frames=4000, seed=7)]
+        b = [p for _, p in runtime.WavLoader(paths, n_threads=1,
+                                             max_frames=4000, seed=7)]
+        c = [p for _, p in runtime.WavLoader(paths, n_threads=1,
+                                             max_frames=4000, seed=8)]
+        assert a == b and sorted(a) == list(range(10))
+        assert a != c   # different seed, different shuffle
+
+    def test_max_frames_crops(self, tmp_path):
+        if runtime.get_dataload_lib() is None:
+            pytest.skip("no native toolchain")
+        paths = self._make(tmp_path)
+        for w, _ in runtime.WavLoader(paths, n_threads=2, max_frames=600):
+            assert len(w) == 600
+
+    def test_batched_wavs_padding(self, tmp_path):
+        if runtime.get_dataload_lib() is None:
+            pytest.skip("no native toolchain")
+        paths = self._make(tmp_path)
+        ld = runtime.WavLoader(paths, n_threads=2, max_frames=4000, seed=0)
+        batches = list(runtime.batched_wavs(ld, 4))
+        assert sum(b[0].shape[0] for b in batches) == 10
+        for wavs, lens, pids in batches:
+            assert wavs.shape[1] == lens.max()
+            for i, L in enumerate(lens):
+                assert (wavs[i, L:] == 0).all()
+
+    def test_python_fallback(self, tmp_path, monkeypatch):
+        paths = self._make(tmp_path, n=5)
+        monkeypatch.setattr(runtime, "get_dataload_lib", lambda: None)
+        ld = runtime.WavLoader(paths, max_frames=4000, epochs=1, seed=3)
+        assert not ld.native
+        items = list(ld)
+        assert len(items) == 5
+        assert sorted(p for _, p in items) == list(range(5))

@@ -149,8 +149,8 @@ def bench_turbo(results):
 
 
 def bench_ttfa(results, ctx):
-    """p50 time-to-first-audio: prefill + 25-token chunk decode + short vocode."""
-    from chatterbox_tpu.sampling.chunked import t3_prefill, t3_decode_chunk
+    """p50 time-to-first-audio: fused prefill+25-token chunk + short vocode."""
+    from chatterbox_tpu.sampling.chunked import t3_prefill_decode
 
     hp, t3_params, engine = ctx["hp"], ctx["t3_params"], ctx["engine"]
     cond, ref, sp, text = ctx["cond"], ctx["ref"], ctx["sp"], ctx["text"]
@@ -160,12 +160,11 @@ def bench_ttfa(results, ctx):
 
     def first_audio(seed):
         t0 = time.perf_counter()
-        state = t3_prefill(t3_params, hp, cond, text, jnp.asarray(30),
-                           jax.random.key(seed), max_new_tokens=250,
-                           cfg_mode=False)
-        state, toks, n = t3_decode_chunk(t3_params, hp, state, sp,
-                                         n_steps=CHUNK, top_k=1000,
-                                         cfg_mode=False, ignore_eos=True)
+        # ONE dispatch for prefill + the first decode chunk
+        state, toks, n = t3_prefill_decode(
+            t3_params, hp, cond, text, jnp.asarray(30), sp,
+            jax.random.key(seed), max_new_tokens=250, n_steps=CHUNK,
+            top_k=1000, cfg_mode=False, ignore_eos=True)
         toks_h, n_h = jax.device_get((toks, n))
         toks = toks_h[: int(n_h)] % 6561
         # the product streaming path: ONE fused device program per feed

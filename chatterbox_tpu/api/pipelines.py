@@ -419,7 +419,7 @@ class ChatterboxTurboTTS(_TTSBase):
         ideal for sentences; use serve.streaming.synthesize_long_form for
         narration.
         """
-        from ..sampling.chunked import t3_prefill, t3_decode_chunk
+        from ..sampling.chunked import t3_prefill_decode, t3_decode_chunk
         from ..serve.streaming import StreamingVocoder
 
         if audio_prompt_path:
@@ -435,17 +435,22 @@ class ChatterboxTurboTTS(_TTSBase):
 
         sp = SamplerParams.make(temperature=temperature, top_p=top_p, min_p=0.0,
                                 repetition_penalty=repetition_penalty, cfg_weight=0.0)
-        state = t3_prefill(self.t3_params, self.hp, self.conds.t3.as_arrays(),
-                           jnp.asarray(text_tokens), jnp.asarray(len(ids)),
-                           self._next_key(), max_new_tokens=max_new_tokens,
-                           cfg_mode=False)
+        # prefill + first chunk fused into one dispatch (TTFA critical path)
+        state, toks, n_new = t3_prefill_decode(
+            self.t3_params, self.hp, self.conds.t3.as_arrays(),
+            jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
+            self._next_key(), max_new_tokens=max_new_tokens,
+            n_steps=chunk_tokens, top_k=top_k, cfg_mode=False)
         voc = StreamingVocoder(self.s3gen, self.conds.gen, self._next_key())
         total = 0
         emitted_samples = 0
+        first = True
         while total < max_new_tokens:
-            state, toks, n_new = t3_decode_chunk(
-                self.t3_params, self.hp, state, sp, n_steps=chunk_tokens,
-                top_k=top_k, cfg_mode=False)
+            if not first:
+                state, toks, n_new = t3_decode_chunk(
+                    self.t3_params, self.hp, state, sp, n_steps=chunk_tokens,
+                    top_k=top_k, cfg_mode=False)
+            first = False
             n = int(n_new)
             done = bool(state.done) or (total + n >= max_new_tokens) or n == 0
             toks = np.asarray(toks)[:n]

@@ -148,6 +148,33 @@ def t3_decode_chunk(params: dict, hp: T3Config, state: DecodeState,
     return f.st, f.out, f.n_new
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("hp", "max_new_tokens", "cfg_mode",
+                                    "n_steps", "top_k", "ignore_eos",
+                                    "kv_int8"))
+def t3_prefill_decode(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
+                      text_tokens: jnp.ndarray, text_len: jnp.ndarray,
+                      sp: S.SamplerParams, key,
+                      *, max_new_tokens: int = 1000, n_steps: int = 25,
+                      top_k: int = 0, cfg_mode: bool = True,
+                      ignore_eos: bool = False, kv_int8: bool = False):
+    """Prefill + the FIRST decode chunk in ONE program.
+
+    The TTFA path previously dispatched t3_prefill then t3_decode_chunk —
+    two relay round-trips before any token exists. Fusing them removes one
+    dispatch from the time-to-first-audio critical path (each costs
+    ~10-30 ms over the axon relay). Returns (state, tokens (n_steps,),
+    n_new ()) exactly like t3_decode_chunk; continue with t3_decode_chunk
+    for subsequent chunks (token stream identical — the RNG chain lives in
+    DecodeState)."""
+    state = t3_prefill(params, hp, cond, text_tokens, text_len, key,
+                       max_new_tokens=max_new_tokens, cfg_mode=cfg_mode,
+                       kv_int8=kv_int8)
+    return t3_decode_chunk(params, hp, state, sp, n_steps=n_steps,
+                           top_k=top_k, cfg_mode=cfg_mode,
+                           ignore_eos=ignore_eos)
+
+
 # measured crossover (v5e, GPT2-medium int8-fused): bucketed wins above
 # ~384 generated tokens (1326 vs 1279 tok/s at 250; 1112 vs 966 at 1000) —
 # shared by the pipeline and serving-loop dispatch sites

@@ -273,3 +273,48 @@ class TestBucketedGenerate:
         np.testing.assert_array_equal(np.asarray(one.tokens),
                                       np.asarray(buck.tokens))
         assert int(one.n_tokens) == int(buck.n_tokens)
+
+
+class TestPrefillDecodeFusion:
+    """t3_prefill_decode (one dispatch) must reproduce the two-call
+    prefill→chunk path token-for-token (same RNG chain), and continue
+    correctly into subsequent t3_decode_chunk calls."""
+
+    def test_fused_start_matches_two_calls(self):
+        from chatterbox_tpu.sampling.chunked import (
+            t3_prefill, t3_decode_chunk, t3_prefill_decode)
+        from chatterbox_tpu.models.t3.config import T3Config
+        from chatterbox_tpu.models.t3 import model as t3m
+        from chatterbox_tpu.ops.sampling import SamplerParams
+
+        hp = T3Config.tiny_test("gpt2")
+        params = t3m.t3_init(jax.random.key(0), hp)
+        cond = t3m.T3CondArrays(
+            speaker_emb=jax.random.normal(jax.random.key(1), (1, 256)),
+            cond_prompt_speech_tokens=jnp.zeros(
+                (1, hp.speech_cond_prompt_len), jnp.int32),
+            emotion_adv=None)
+        text = jnp.pad(jnp.arange(1, 9, dtype=jnp.int32)[None],
+                       ((0, 0), (0, 8)))
+        sp = SamplerParams.make(temperature=0.8, top_p=0.9,
+                                repetition_penalty=1.2)
+        key = jax.random.key(5)
+
+        s1 = t3_prefill(params, hp, cond, text, jnp.asarray(8), key,
+                        max_new_tokens=16, cfg_mode=False)
+        s1, t1, n1 = t3_decode_chunk(params, hp, s1, sp, n_steps=6,
+                                     top_k=40, cfg_mode=False,
+                                     ignore_eos=True)
+        s2, t2, n2 = t3_prefill_decode(params, hp, cond, text,
+                                       jnp.asarray(8), sp, key,
+                                       max_new_tokens=16, n_steps=6,
+                                       top_k=40, cfg_mode=False,
+                                       ignore_eos=True)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        assert int(n1) == int(n2) == 6
+        # continuation stays identical too
+        _, c1, _ = t3_decode_chunk(params, hp, s1, sp, n_steps=5,
+                                   top_k=40, cfg_mode=False, ignore_eos=True)
+        _, c2, _ = t3_decode_chunk(params, hp, s2, sp, n_steps=5,
+                                   top_k=40, cfg_mode=False, ignore_eos=True)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

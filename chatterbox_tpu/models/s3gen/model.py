@@ -576,10 +576,11 @@ class S3GenEngine:
             sos=sos, eos=eos, vocab=vocab,
             n_timesteps=n_timesteps or self.n_timesteps,
             mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
-        # ONE fetch: the n_upper-sliced wav (>= the real length) + the real
-        # token count; host trims the (zero-masked) tail after the fetch
-        out, tl = jax.device_get(
-            (wav[:, : n_upper * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE], token_len))
+        # ONE fetch of the full mel-bucket buffer + the real token count;
+        # host trims the (zero-masked) tail. Fetching the whole buffer beats
+        # device-slicing to n_upper: the slice is an extra dispatch while the
+        # bucket overfetch is tiny (buckets are ≤1.5× the content, int16)
+        out, tl = jax.device_get((wav, token_len))
         n_gen = int(tl[0]) - P
         out = out[:, : n_gen * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE]
         if self.pcm16_fetch:

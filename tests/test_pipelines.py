@@ -150,3 +150,47 @@ class TestMTL:
     def test_supported_languages(self):
         assert len(SUPPORTED_LANGUAGES) == 23
         assert ChatterboxMultilingualTTS.get_supported_languages()["zh"] == "Chinese"
+
+
+class TestBucketedPipelineSwitch:
+    """The CFG pipelines switch to bucketed-cache decode at long budgets;
+    the audio must be identical to the plain one-shot path (token parity is
+    pinned at engine level — this checks the pipeline wiring end-to-end)."""
+
+    def test_cfg_bucketed_audio_identical(self, monkeypatch):
+        hp = T3Config.tiny_test("llama")
+        m = ChatterboxTTS.random_init(hp=hp, tokenizer=FakeTokenizer(), **TINY)
+        from chatterbox_tpu.utils.audio_io import save_wav
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        save_wav(os.path.join(d, "ref.wav"), _make_ref_wav(2), 24000)
+        m.prepare_conditionals(os.path.join(d, "ref.wav"))
+
+        m.set_seed(0)
+        plain = m.generate("Bucketed parity.", max_new_tokens=12)
+
+        import chatterbox_tpu.sampling.chunked as chunked
+        monkeypatch.setattr(chunked, "BUCKETED_DECODE_THRESHOLD", 4)
+        m.set_seed(0)
+        bucketed = m.generate("Bucketed parity.", max_new_tokens=12)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(bucketed))
+
+    def test_mtl_bucketed_audio_identical(self, monkeypatch):
+        hp = T3Config.tiny_test("llama")
+        m = ChatterboxMultilingualTTS.random_init(hp=hp,
+                                                  tokenizer=FakeTokenizer(),
+                                                  **TINY)
+        from chatterbox_tpu.utils.audio_io import save_wav
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        save_wav(os.path.join(d, "ref.wav"), _make_ref_wav(2), 24000)
+        m.prepare_conditionals(os.path.join(d, "ref.wav"))
+
+        m.set_seed(3)
+        plain = m.generate("Salut.", language_id="fr", max_new_tokens=12)
+
+        import chatterbox_tpu.sampling.chunked as chunked
+        monkeypatch.setattr(chunked, "BUCKETED_DECODE_THRESHOLD", 4)
+        m.set_seed(3)
+        bucketed = m.generate("Salut.", language_id="fr", max_new_tokens=12)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(bucketed))

@@ -629,15 +629,31 @@ class S3GenEngine:
 
         key: one key (batch-shaped draws) or a stacked (B,) key array —
         per-row noise, so each row's audio is reproducible from its own key
-        regardless of batch composition."""
+        regardless of batch composition.
+
+        Shapes are bucketed on EVERY free axis — tokens/mels (doubling
+        buckets), batch (next power of two, last row replicated) and
+        prompt-feat length — so a serving loop retiring a different number
+        of rows each round reuses one compiled program instead of paying a
+        fresh XLA compile per batch composition. Padded rows are masked
+        rubbish; the handle remembers the real row count."""
         B = len(token_rows)
         assert B == len(refs) and B >= 1
+        Bp = 1
+        while Bp < B:
+            Bp *= 2
+        if Bp > B:                     # replicate the last row into the pad
+            token_rows = list(token_rows) + [token_rows[-1]] * (Bp - B)
+            refs = list(refs) + [refs[-1]] * (Bp - B)
         tokens, Ps, Gs, _, mel_bucket = pack_prompt_gen(token_rows, refs)
-        feat_T = max(r.prompt_feat.shape[1] for r in refs)
-        feats = np.zeros((B, feat_T, 80), np.float32)
+        feat_T = _bucket(max(r.prompt_feat.shape[1] for r in refs),
+                         GEN_MEL_BUCKETS)
+        feats = np.zeros((Bp, feat_T, 80), np.float32)
         for i, r in enumerate(refs):
             feats[i, : r.prompt_feat.shape[1]] = r.prompt_feat[0]
         embs = np.concatenate([r.embedding for r in refs], axis=0)
+        if key.ndim >= 1 and key.shape[0] == B and Bp > B:
+            key = jnp.concatenate([key, jnp.repeat(key[-1:], Bp - B, axis=0)])
 
         wavs = self._fused(
             self.params, jnp.asarray(tokens),
@@ -645,7 +661,9 @@ class S3GenEngine:
             jnp.asarray(Ps), jnp.asarray(feats), jnp.asarray(embs), key,
             n_timesteps=n_timesteps or self.n_timesteps,
             mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
-        return (wavs, Gs)
+        if Bp > B:
+            wavs = wavs[:B]       # device-side slice: don't fetch pad rows
+        return (wavs, Gs[:B])
 
     def inference_batch_fetch(self, handle) -> list:
         """Sync half of inference_batch: fetches and unpacks the waveforms."""

@@ -211,6 +211,16 @@ def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
     return f.st
 
 
+@jax.jit
+def pack_status(state: SlotStates) -> jnp.ndarray:
+    """Everything the host scheduler needs, as ONE int32 array so one fetch
+    (= one relay round-trip) per round covers harvesting:
+    [done(S) | active(S) | step(S) | tokens(S*cap)]."""
+    i32 = lambda a: a.astype(jnp.int32)
+    return jnp.concatenate([i32(state.done), i32(state.active),
+                            i32(state.step), state.tokens.reshape(-1)])
+
+
 @functools.partial(jax.jit, static_argnames=("new_t_cap",))
 def grow_slot_cache(state: SlotStates, *, new_t_cap: int) -> SlotStates:
     """Pad the slot cache's time axis (bucketed growth; rows are
@@ -300,16 +310,22 @@ class ContinuousTTSServer:
         for rid, w in zip(rids, self.s3gen.inference_batch_fetch(handle)):
             self.wavs[rid] = w
 
-    def _harvest(self):
-        done = np.asarray(self.state.done)
-        active = np.asarray(self.state.active)
+    def _harvest(self, status: np.ndarray = None):
+        """Retire finished rows. `status` is a pack_status snapshot (possibly
+        one round stale — done rows' step/tokens no longer change, so a lagged
+        snapshot harvests identically); without one, fetch fresh."""
+        if status is None:
+            status = np.asarray(pack_status(self.state))
+        Sn = self.n_slots
+        done = status[:Sn].astype(bool)
+        active = status[Sn: 2 * Sn].astype(bool)
         finished = [i for i in range(self.n_slots)
                     if active[i] and done[i] and self._slot_req[i] is not None]
         self._flush_vocode()
         if not finished:
             return []
-        steps = np.asarray(self.state.step)
-        tokens = np.asarray(self.state.tokens)
+        steps = status[2 * Sn: 3 * Sn]
+        tokens = status[3 * Sn:].reshape(Sn, -1)
         out, voc_rows, voc_refs, voc_keys, voc_rids = [], [], [], [], []
         for i in finished:
             req = self._slot_req[i]
@@ -327,8 +343,8 @@ class ContinuousTTSServer:
             out.append(req.request_id)
             self._slot_req[i] = None
             self._slot_bound[i] = 0
-            self.state = self.state._replace(
-                active=self.state.active.at[i].set(False))
+        self.state = self.state._replace(
+            active=self.state.active.at[np.asarray(finished)].set(False))
         if voc_rows:
             # ONE batched dispatch for every request finishing this round;
             # the fetch is deferred so the next decode chunk isn't stalled
@@ -337,14 +353,18 @@ class ContinuousTTSServer:
             self._voc_pending = (voc_rids, handle)
         return out
 
-    def step(self) -> list:
-        """One scheduling round: admit pending → decode a chunk → harvest.
-        Returns the request_ids completed this round."""
+    def _dispatch_round(self) -> bool:
+        """Admit pending requests and dispatch one decode chunk (async).
+        Returns False when no slot is occupied (nothing dispatched)."""
         self._admit_pending()
         if not any(r is not None for r in self._slot_req):
-            return []
-        # bucketed growth: ensure the cache covers every slot's next chunk
-        needed = max(b for b in self._slot_bound) + self.chunk
+            return False
+        # bucketed growth: ensure the cache covers every slot's next chunk.
+        # Clamp to the full capacity: a finished-but-unharvested slot's bound
+        # keeps advancing for one lagged round and may exceed it (rows never
+        # write past t_full — done rows don't advance).
+        needed = min(max(b for b in self._slot_bound) + self.chunk,
+                     self._t_full)
         if needed > self._t_cap:
             new_cap = self._t_cap
             while new_cap < needed:
@@ -358,12 +378,30 @@ class ContinuousTTSServer:
         for i in range(self.n_slots):         # advance host upper bounds
             if self._slot_req[i] is not None:
                 self._slot_bound[i] += self.chunk
+        return True
+
+    def step(self) -> list:
+        """One scheduling round: admit pending → decode a chunk → harvest.
+        Returns the request_ids completed this round."""
+        if not self._dispatch_round():
+            return []
         return self._harvest()
 
     def run_until_idle(self, max_rounds: int = 10_000) -> dict:
+        """Overlapped serving loop: each round's status fetch (one relay
+        round-trip) is deferred until the NEXT chunk has been dispatched, so
+        the round-trip rides the device compute instead of serializing with
+        it. Done rows' step/tokens are frozen, so harvesting from a one-round-
+        stale snapshot yields identical results; the only cost is that a
+        finished slot is re-admitted one round later."""
+        lagged = None
         for _ in range(max_rounds):
-            self.step()
-            if not self._pending and all(r is None for r in self._slot_req):
+            status = pack_status(self.state) if self._dispatch_round() else None
+            if lagged is not None:
+                self._harvest(np.asarray(lagged))
+            lagged = status
+            if status is None and not self._pending and \
+                    all(r is None for r in self._slot_req):
                 break
         if self.s3gen is not None:
             self._flush_vocode()

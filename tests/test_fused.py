@@ -136,3 +136,19 @@ class TestFusedInference:
         for w in wavs:
             assert np.isfinite(w).all()
             assert np.abs(w[:480]).max() == 0.0    # per-row trim fade
+
+    def test_batch_pow2_padding_is_invisible(self, engine, ref):
+        """A non-power-of-two batch is padded to the next pow2 bucket
+        (last row replicated) so serving reuses one compiled program per
+        bucket. With per-row keys, each row must come out identical to its
+        own B=1 run, and only the real rows are returned."""
+        rng = np.random.default_rng(6)
+        rows = [rng.integers(0, 6561, (n,)).astype(np.int32)
+                for n in (10, 17, 23)]
+        keys = jnp.stack([jax.random.key(100 + i) for i in range(3)])
+        wavs = engine.inference_batch(rows, [ref] * 3, keys)   # B=3 → pad 4
+        assert len(wavs) == 3
+        for i, (row, w) in enumerate(zip(rows, wavs)):
+            solo = engine.inference_batch([row], [ref],
+                                          keys[i: i + 1])[0]
+            np.testing.assert_allclose(w, solo, atol=2e-4, rtol=0)

@@ -39,12 +39,11 @@ def log(m):
     sys.stderr.flush()
 
 
-class _CondHost:
-    def __init__(self, hp, rng):
-        self.speaker_emb = rng.standard_normal((1, 256)).astype(np.float32)
-        self.cond_prompt_speech_tokens = rng.integers(
-            0, 6561, (1, hp.speech_cond_prompt_len)).astype(np.int32)
-        self.emotion_adv = 0.5
+def _make_cond(hp, rng):
+    from chatterbox_tpu.api.pipelines import T3CondHost
+    return T3CondHost(
+        rng.standard_normal((1, 256)).astype(np.float32),
+        rng.integers(0, 6561, (1, hp.speech_cond_prompt_len)).astype(np.int32))
 
 
 def main():
@@ -52,6 +51,8 @@ def main():
     ap.add_argument("--requests", type=int, default=24)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--decode-only", action="store_true",
+                    help="skip vocoding (isolates the scheduling loop)")
     args = ap.parse_args()
 
     hp = T3Config.turbo()
@@ -69,7 +70,7 @@ def main():
         prompt_token_len=np.asarray([P], np.int32),
         prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
         embedding=rng.standard_normal((1, 192)).astype(np.float32))
-    cond = _CondHost(hp, rng)
+    cond = _make_cond(hp, rng)
 
     # mixed-length workload: 100–250 generated tokens per request (ignoring
     # EOS — random weights; per-request caps emulate different utterances)
@@ -81,17 +82,28 @@ def main():
             cond=cond, request_id=i, seed=i, max_new=int(caps[i]), ref=ref)
             for i in range(args.requests)]
 
+    voc = None if args.decode_only else engine
     # ---- continuous slot server ------------------------------------------
     log("continuous: compiling (admit + chunk programs) ...")
     warm = ContinuousTTSServer(t3p, hp, n_slots=args.slots, text_bucket=32,
                                max_new_tokens=256, chunk=args.chunk,
-                               s3gen=engine)
+                               s3gen=voc)
     for r in make_requests()[: args.slots + 1]:   # exercise admit+backfill
         warm.submit(r)
     warm.run_until_idle()
+    if voc is not None:
+        # warm every pow2 vocode batch bucket the harvest loop can hit
+        for B in (1, 2, 4, 8):
+            if B > args.slots:
+                break
+            rows = [rng.integers(0, 6561, (int(caps.max()),)).astype(np.int32)
+                    ] * B
+            voc.inference_batch(rows, [ref] * B,
+                                jnp.stack([jax.random.key(i)
+                                           for i in range(B)]))
     srv = ContinuousTTSServer(t3p, hp, n_slots=args.slots, text_bucket=32,
                               max_new_tokens=256, chunk=args.chunk,
-                              s3gen=engine)
+                              s3gen=voc)
     for r in make_requests():
         srv.submit(r)
     t0 = time.perf_counter()

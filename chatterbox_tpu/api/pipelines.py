@@ -361,8 +361,14 @@ class ChatterboxTurboTTS(_TTSBase):
     def generate(self, text, repetition_penalty=1.2, min_p=0.00, top_p=0.95,
                  audio_prompt_path=None, exaggeration=0.0, cfg_weight=0.0,
                  temperature=0.8, top_k=1000, norm_loudness=True,
-                 max_new_tokens=1000):
-        """(ref: tts_turbo.py:272-320)"""
+                 max_new_tokens=1000, kv_int8=False):
+        """(ref: tts_turbo.py:272-320)
+
+        kv_int8: opt-in int8 KV cache + pallas streamed-dequant attention
+        kernel — measured +20 % decode throughput at the 1000-token budget
+        (1214 vs 1015 tok/s one-shot, tools/ab_int8.py); adds ~0.004 mean
+        logit error on top of int8 weights. Off until validated on real
+        checkpoints (tools/real_weights_check.py)."""
         if audio_prompt_path:
             self.prepare_conditionals(audio_prompt_path, exaggeration=exaggeration,
                                       norm_loudness=norm_loudness)
@@ -393,12 +399,15 @@ class ChatterboxTurboTTS(_TTSBase):
                 self.t3_params, self.hp, self.conds.t3.as_arrays(),
                 jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
                 self._next_key(), max_new_tokens=max_new_tokens,
-                top_k=top_k, cfg_mode=False)
+                top_k=top_k, cfg_mode=False,
+                kv_int8=kv_int8, fused_attn=kv_int8)
         else:
             res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
                               jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
                               self._next_key(), max_new_tokens=max_new_tokens,
-                              top_k=top_k, cfg_mode=False)
+                              top_k=top_k, cfg_mode=False,
+                              kv_int8=kv_int8,
+                              fused_attn=(True if kv_int8 else None))
         # device-side tail: drop >= vocab + 3 silence tokens
         # (ref: tts_turbo.py:308-311)
         wav, _ = self._decode_to_wav(res, cfg_slice=False, append_sil=3,

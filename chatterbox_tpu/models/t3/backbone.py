@@ -374,17 +374,33 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
                 all_vs = all_vs.at[i].set(_write_cache(all_vs[i], vs, start))
 
         if int8_cache:
-            # dequant folds into the attention matmul's operand read
-            ck = (all_k[i].astype(q.dtype) * all_ks[i].astype(q.dtype))
-            cv = (all_v[i].astype(q.dtype) * all_vs[i].astype(q.dtype))
+            from ...ops.pallas_attention import (
+                TT, decode_attention_streamed_int8)
+            mha_heads = cfg.is_gpt or cfg.num_kv_heads == cfg.num_heads
+            if (fused_attn and q.shape[2] == 1 and mha_heads
+                    and all_k.shape[3] % TT == 0):
+                # int8 tiles streamed straight into the kernel: half the
+                # HBM bytes, dequant folded into score/weight multiplies —
+                # the fusion XLA refuses (DESIGN.md: 614 vs 862 tok/s)
+                cur = (jnp.broadcast_to(start, (q.shape[0],))
+                       if start.ndim == 0 else start)
+                attn = decode_attention_streamed_int8(
+                    q, all_k[i], all_ks[i][..., 0],
+                    all_v[i], all_vs[i][..., 0], cur)
+                ck = cv = None
+            else:
+                # dequant folds into the attention matmul's operand read
+                ck = (all_k[i].astype(q.dtype) * all_ks[i].astype(q.dtype))
+                cv = (all_v[i].astype(q.dtype) * all_vs[i].astype(q.dtype))
         else:
             ck = all_k[i].astype(q.dtype)
             cv = all_v[i].astype(q.dtype)
-        if not cfg.is_gpt and cfg.num_kv_heads != cfg.num_heads:
-            rep = cfg.num_heads // cfg.num_kv_heads
-            ck = jnp.repeat(ck, rep, axis=1)
-            cv = jnp.repeat(cv, rep, axis=1)
-        attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
+        if ck is not None:
+            if not cfg.is_gpt and cfg.num_kv_heads != cfg.num_heads:
+                rep = cfg.num_heads // cfg.num_kv_heads
+                ck = jnp.repeat(ck, rep, axis=1)
+                cv = jnp.repeat(cv, rep, axis=1)
+            attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
         if fused_layer and cfg.is_gpt:
             from ...ops.fused_layer import (apply_fused_gpt2_mlp,
                                             apply_fused_gpt2_mlp_int8)

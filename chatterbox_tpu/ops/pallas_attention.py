@@ -180,6 +180,119 @@ def decode_attention_streamed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out[:, :, None, :]
 
 
+def _flash_decode_int8_kernel(lt_ref, cl_ref, q_ref, kq_ref, ks_ref,
+                              vq_ref, vs_ref, out_ref, m_scr, l_scr, acc_scr):
+    """Int8-KV variant of `_flash_decode_kernel`: k/v tiles arrive as int8
+    (HALF the HBM bytes of the bf16 cache — the decode step's dominant read
+    at long contexts) plus one scale per (head, position). The dequantize
+    never materializes a bf16 cache: K's scale folds into the score matrix
+    (scores *= k_s) and V's into the softmax weights (p *= v_s) — two
+    (H, TT) elementwise multiplies instead of 2·(H, TT, D) upcasts. This is
+    the fusion XLA refuses (the scale-multiply runs as a separate full-cache
+    pass there — measured 614 vs 862 tok/s, DESIGN.md); here it rides the
+    tile loop for free."""
+    b, t = pl.program_id(0), pl.program_id(1)
+    n_t = pl.num_programs(1)
+    H, D = q_ref.shape[1], q_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(t <= lt_ref[b])
+    def _():
+        q = q_ref[0].astype(jnp.float32)                # (H, D)
+        k = kq_ref[0].astype(jnp.float32)               # (H, TT, D) int8→f32
+        scale = 1.0 / (D ** 0.5)
+        scores = jax.lax.dot_general(
+            k, q,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                       # (H, TT) f32
+        scores = scores * ks_ref[0].astype(jnp.float32)
+        pos = t * TT + jax.lax.broadcasted_iota(jnp.int32, (H, TT), 1)
+        valid = pos <= cl_ref[b]
+        scores = jnp.where(valid, scores, -jnp.inf)
+        m_prev = m_scr[:, 0:1]                          # (H, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        m_new = jnp.maximum(m_new, -3.0e38)
+        alpha = jnp.exp(m_prev - m_new)                 # (H, 1)
+        p = jnp.exp(scores - m_new)
+        p = jnp.where(valid, p, 0.0)
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p = p * vs_ref[0].astype(jnp.float32)           # fold V's dequant in
+        pv = jax.lax.dot_general(
+            jnp.swapaxes(vq_ref[0].astype(jnp.float32), 1, 2), p,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # (H, D) f32
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:, 0:1] = m_new
+        l_scr[:, 0:1] = l_new
+
+    @pl.when(t == n_t - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        out_ref[0] = (acc_scr[:] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_streamed_int8(q: jnp.ndarray,
+                                   k_q: jnp.ndarray, k_s: jnp.ndarray,
+                                   v_q: jnp.ndarray, v_s: jnp.ndarray,
+                                   cur_len: jnp.ndarray,
+                                   interpret: bool | None = None
+                                   ) -> jnp.ndarray:
+    """Streamed single-token decode attention reading the int8 KV cache.
+
+    q: (B, H, 1, D); k_q/v_q: (B, H, T, D) int8 with T % TT == 0;
+    k_s/v_s: (B, H, T) per-position dequant scales; cur_len: (B,).
+    Returns (B, H, 1, D). Matches
+    `decode_attention_streamed(q, k_q*k_s[...,None], v_q*v_s[...,None])`
+    while moving half the HBM bytes; tiles past cur_len are never fetched
+    (clamped block index ⇒ DMA skipped), as in the bf16 kernel."""
+    B, H, _, D = q.shape
+    T = k_q.shape[2]
+    assert T % TT == 0, f"cache length {T} not a multiple of {TT}"
+    if interpret is None:
+        interpret = not _on_tpu()
+    n_t = T // TT
+    cur_len = cur_len.astype(jnp.int32)
+    last_tile = jnp.minimum(cur_len // TT, n_t - 1)
+
+    kv_spec = pl.BlockSpec((1, H, TT, D),
+                           lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b]), 0),
+                           memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, H, TT),
+                          lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b])),
+                          memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, s_spec, kv_spec, s_spec,
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, 128), jnp.float32),   # running max (col 0)
+            pltpu.VMEM((H, 128), jnp.float32),   # running sum (col 0)
+            pltpu.VMEM((H, D), jnp.float32),     # weighted-value accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        _flash_decode_int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(last_tile, cur_len, q[:, :, 0], k_q, k_s, v_q, v_s)
+    return out[:, :, None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      cur_len: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:

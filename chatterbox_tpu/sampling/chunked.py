@@ -34,19 +34,26 @@ class DecodeState(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("hp", "max_new_tokens", "cfg_mode",
-                                    "kv_int8"))
+                                    "kv_int8", "tile_align"))
 def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                text_tokens: jnp.ndarray, text_len: jnp.ndarray, key,
                *, max_new_tokens: int = 1000, cfg_mode: bool = True,
-               kv_int8: bool = False) -> DecodeState:
+               kv_int8: bool = False, tile_align: bool = False) -> DecodeState:
     """Build the packed prefix, run it through the backbone, return the
-    decode state (same packing scheme as sampling/decode.py)."""
+    decode state (same packing scheme as sampling/decode.py).
+
+    tile_align: round the cache's time axis up to the pallas attention tile
+    (TT) so the streamed decode kernels can engage; they skip DMA past the
+    current length, so the extra padding is free on that path."""
     cfg = hp.backbone
     Lc = t3m.cond_len(hp)
     Ltp = text_tokens.shape[1]
     B = 2 if cfg_mode else 1
     P_pad = Lc + Ltp + 1
     t_max = P_pad + max_new_tokens
+    if tile_align:
+        from ..ops.pallas_attention import TT
+        t_max = ((t_max + TT - 1) // TT) * TT
     V = hp.speech_tokens_dict_size
 
     ce = t3m.cond_embeds(params, hp, cond)
@@ -212,7 +219,8 @@ def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                          sp: S.SamplerParams, key,
                          *, max_new_tokens: int = 1000, top_k: int = 1000,
                          cfg_mode: bool = True, ignore_eos: bool = False,
-                         first_segment: int = 64, kv_int8: bool = False):
+                         first_segment: int = 64, kv_int8: bool = False,
+                         fused_attn: bool = False):
     """One-shot-equivalent generation with a geometrically growing KV cache.
 
     sampling/decode.t3_generate allocates the cache at P_pad+max_new_tokens
@@ -235,19 +243,24 @@ def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     segs = segment_schedule(max_new_tokens, first_segment)
     state = t3_prefill(params, hp, cond, text_tokens, text_len, key,
                        max_new_tokens=segs[0], cfg_mode=cfg_mode,
-                       kv_int8=kv_int8)
+                       kv_int8=kv_int8, tile_align=fused_attn)
     Lc = t3m.cond_len(hp)
     P_pad = Lc + text_tokens.shape[1] + 1
+    align = 1
+    if fused_attn:
+        from ..ops.pallas_attention import TT
+        align = TT
+    aligned = lambda t: ((t + align - 1) // align) * align
     cap = segs[0]
     outs = []
     n_total = jnp.zeros((), jnp.int32)
     for i, n in enumerate(segs):
         if i > 0:
             cap += n
-            state = grow_cache(state, new_t_max=P_pad + cap)
+            state = grow_cache(state, new_t_max=aligned(P_pad + cap))
         state, toks, nn = t3_decode_chunk(
             params, hp, state, sp, n_steps=n, top_k=top_k,
-            cfg_mode=cfg_mode, ignore_eos=ignore_eos)
+            cfg_mode=cfg_mode, ignore_eos=ignore_eos, fused_attn=fused_attn)
         outs.append(toks)
         n_total = n_total + nn
     return GenResult(tokens=jnp.concatenate(outs), n_tokens=n_total)

@@ -112,3 +112,25 @@ class TestInt8KVCache:
                                    first_segment=8, kv_int8=True)
         assert int(res.n_tokens) == 20
         assert np.asarray(res.tokens).shape == (20,)
+
+    def test_chunked_int8_fused_attn_kernel_path(self):
+        """kv_int8 + fused_attn: tile-aligned cache growth routes decode
+        attention through the pallas int8 streamed kernel (interpret mode on
+        CPU). Near-greedy tokens must agree with the XLA-dequant int8 path
+        on most steps (same quantized cache, kernel-vs-XLA float noise
+        only)."""
+        from chatterbox_tpu.sampling.chunked import t3_generate_bucketed
+        hp, params, cond = _setup("gpt2")
+        text = jnp.pad(jnp.arange(1, 9, dtype=jnp.int32)[None],
+                       ((0, 0), (0, 8)))
+        sp = SamplerParams.make(temperature=1e-4, top_p=1.0,
+                                repetition_penalty=1.0)
+        kw = dict(max_new_tokens=20, top_k=0, cfg_mode=False,
+                  ignore_eos=True, first_segment=8, kv_int8=True)
+        a = t3_generate_bucketed(params, hp, cond, text, jnp.asarray(8), sp,
+                                 jax.random.key(5), **kw)
+        b = t3_generate_bucketed(params, hp, cond, text, jnp.asarray(8), sp,
+                                 jax.random.key(5), fused_attn=True, **kw)
+        assert int(b.n_tokens) == 20
+        same = np.mean(np.asarray(a.tokens) == np.asarray(b.tokens))
+        assert same >= 0.75, (a.tokens, b.tokens)

@@ -43,3 +43,78 @@ class TestFusedMLP:
                     @ (w2q.astype(jnp.float32) * s2)) + b2)
         out = fused_mlp_int8(x, g, b, w1q, s1, b1, w2q, s2, b2, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=1e-2)
+
+
+class TestStreamedDecodeAttention:
+    """Interpret-mode parity for the tile-streamed flash-decode kernels
+    (the TPU path additionally skips DMA for tiles past cur_len)."""
+
+    def test_streamed_matches_mha(self):
+        from chatterbox_tpu.ops.pallas_attention import (
+            TT, decode_attention_streamed)
+        B, H, D = 2, 4, 16
+        T = 2 * TT
+        key = jax.random.key(1)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (B, H, 1, D))
+        k = jax.random.normal(kk, (B, H, T, D))
+        v = jax.random.normal(kv, (B, H, T, D))
+        cur = jnp.array([7, TT + 13], jnp.int32)   # 1-tile and 2-tile rows
+        ref_mask = (jnp.arange(T)[None, :] <= cur[:, None])[:, None, None]
+        ref = nn.mha(q, k, v, mask=ref_mask)
+        ours = decode_attention_streamed(q, k, v, cur, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_int8_streamed_matches_dequant(self):
+        """Int8-KV kernel == bf16 math on the dequantized cache (the scales
+        fold into scores/weights inside the kernel; reference dequantizes
+        up front)."""
+        from chatterbox_tpu.ops.pallas_attention import (
+            TT, decode_attention_streamed_int8)
+        from chatterbox_tpu.models.t3.backbone import quantize_kv
+        B, H, D = 2, 4, 16
+        T = 2 * TT
+        key = jax.random.key(2)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (B, H, 1, D))
+        k = jax.random.normal(kk, (B, H, T, D)) * 0.3
+        v = jax.random.normal(kv, (B, H, T, D)) * 0.3
+        k_q, k_s = quantize_kv(k)
+        v_q, v_s = quantize_kv(v)
+        cur = jnp.array([TT - 1, T - 1], jnp.int32)
+        deq_k = k_q.astype(jnp.float32) * k_s
+        deq_v = v_q.astype(jnp.float32) * v_s
+        ref_mask = (jnp.arange(T)[None, :] <= cur[:, None])[:, None, None]
+        ref = nn.mha(q, deq_k, deq_v, mask=ref_mask)
+        ours = decode_attention_streamed_int8(
+            q, k_q, k_s[..., 0], v_q, v_s[..., 0], cur, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_int8_decode_loop_uses_kernel(self):
+        """backbone_apply_unrolled(int8 cache, fused_attn=True) routes
+        through the int8 kernel when the cache is tile-aligned, and stays
+        close to the bf16-cache decode (quantization noise only)."""
+        from chatterbox_tpu.ops.pallas_attention import TT
+        from chatterbox_tpu.models.t3 import backbone as bb
+        from chatterbox_tpu.models.t3.config import BackboneConfig
+        cfg = BackboneConfig(family="gpt2", hidden_size=64, num_layers=2,
+                             num_heads=4, head_dim=16, intermediate_size=128,
+                             vocab_size=96)
+        key = jax.random.key(4)
+        params = bb.init_backbone(key, cfg)
+        B, t_max = 2, 2 * TT
+        emb = jax.random.normal(jax.random.key(5), (B, 1, 64)) * 0.1
+        cur = jnp.array([3, 5], jnp.int32)
+        kv_mask = (jnp.arange(t_max)[None, :]
+                   <= cur[:, None])[:, None, None]
+        c8 = bb.KVCacheInt8.zeros(cfg, B, t_max)
+        cbf = bb.KVCache.zeros(cfg, B, t_max)
+        h8, _ = bb.backbone_apply_unrolled(
+            params, cfg, emb, cur[:, None], c8, cur, kv_mask,
+            fused_attn=True)
+        hb, _ = bb.backbone_apply_unrolled(
+            params, cfg, emb, cur[:, None], cbf, cur, kv_mask)
+        np.testing.assert_allclose(np.asarray(h8), np.asarray(hb),
+                                   atol=0.05, rtol=0.05)

@@ -102,7 +102,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="turbo", choices=["turbo", "cfg520"])
     ap.add_argument("--tokens", type=int, default=250)
+    ap.add_argument("--variants", default="all",
+                    help="comma list of: kv,kv-pallas,w,w+kv,w+kv-pallas "
+                         "(bf16 reference always runs)")
+    ap.add_argument("--skip-quality", action="store_true",
+                    help="skip the teacher-forced logit-error passes "
+                         "(throughput only — saves several compiles)")
     args = ap.parse_args()
+    want = (None if args.variants == "all"
+            else set(args.variants.split(",")))
+    sel = lambda name: want is None or name in want
 
     hp = T3Config.turbo() if args.model == "turbo" else T3Config.english_only()
     cfg_mode = args.model == "cfg520"
@@ -123,16 +132,16 @@ def main():
           SamplerParams.make(temperature=0.8, top_p=0.95,
                              repetition_penalty=1.2, cfg_weight=0.0))
 
-    def gen(params, kv_int8, seed=7):
+    def gen(params, kv_int8, seed=7, fused_attn=None):
         res = t3_generate(params, hp, cond, text, n_text, sp,
                           jax.random.key(seed), max_new_tokens=args.tokens,
                           top_k=1000, cfg_mode=cfg_mode, ignore_eos=True,
-                          kv_int8=kv_int8)
+                          kv_int8=kv_int8, fused_attn=fused_attn)
         return np.asarray(res.tokens)
 
-    def timed(params, kv_int8):
+    def timed(params, kv_int8, fused_attn=None):
         t0 = time.perf_counter()
-        toks = gen(params, kv_int8)
+        toks = gen(params, kv_int8, fused_attn=fused_attn)
         return toks, args.tokens / (time.perf_counter() - t0)
 
     # ---- bf16 reference ---------------------------------------------------
@@ -142,9 +151,11 @@ def main():
 
     # teacher-forced logit error needs a single forced stream
     forced = jnp.asarray(ref_toks[: min(args.tokens, 128)])
-    log("teacher-forced logits (bf16 cache) ...")
-    ref_logits = teacher_forced_logits(base, hp, cond, text, n_text, forced,
-                                       kv_int8=False)
+    ref_logits = None
+    if not args.skip_quality:
+        log("teacher-forced logits (bf16 cache) ...")
+        ref_logits = teacher_forced_logits(base, hp, cond, text, n_text,
+                                           forced, kv_int8=False)
 
     def report(name, toks, tps, logits=None):
         div = np.nonzero(toks != ref_toks)[0]
@@ -152,7 +163,7 @@ def main():
         frac = len(div) / len(ref_toks)
         line = (f"{name:16s} {tps:7.1f} tok/s   first-divergence "
                 f"{first:5d}   hamming {frac:6.3f}")
-        if logits is not None:
+        if logits is not None and ref_logits is not None:
             d = np.abs(logits - ref_logits)
             line += (f"   logit |Δ| max {d.max():.4f} mean {d.mean():.6f} "
                      f"(ref |logit| mean {np.abs(ref_logits).mean():.3f})")
@@ -161,30 +172,51 @@ def main():
     report("bf16", ref_toks, ref_tps)
 
     # ---- int8 KV cache (bf16 weights) ------------------------------------
-    log("int8-KV decode (compile + run) ...")
-    gen(base, True)
-    toks, tps = timed(base, True)
-    lg = teacher_forced_logits(base, hp, cond, text, n_text, forced,
-                               kv_int8=True)
-    report("int8-kv", toks, tps, lg)
+    if sel("kv"):
+        log("int8-KV decode (compile + run) ...")
+        gen(base, True)
+        toks, tps = timed(base, True)
+        lg = (None if args.skip_quality else teacher_forced_logits(
+            base, hp, cond, text, n_text, forced, kv_int8=True))
+        report("int8-kv", toks, tps, lg)
+
+    # ---- int8 KV + pallas in-tile-dequant kernel --------------------------
+    # (ops/pallas_attention.decode_attention_streamed_int8: int8 tiles
+    # streamed at half the bf16 bytes, scales folded into scores/weights —
+    # the fusion XLA refuses when the dequant is written as a multiply)
+    if sel("kv-pallas"):
+        log("int8-KV pallas-kernel decode (compile + run) ...")
+        gen(base, True, fused_attn=True)
+        toks, tps = timed(base, True, fused_attn=True)
+        report("int8-kv-pallas", toks, tps)
 
     # ---- weight-only int8 (the shipping bench config) ---------------------
     from chatterbox_tpu.utils.quantize import (best_serving_mode,
                                                quantize_t3_backbone)
-    log("weight-only int8 decode (compile + run) ...")
     qp = quantize_t3_backbone(base, mode=best_serving_mode(hp.backbone))
-    gen(qp, False)
-    toks, tps = timed(qp, False)
-    lg = teacher_forced_logits(qp, hp, cond, text, n_text, forced,
-                               kv_int8=False)
-    report("int8-weights", toks, tps, lg)
+    if sel("w"):
+        log("weight-only int8 decode (compile + run) ...")
+        gen(qp, False)
+        toks, tps = timed(qp, False)
+        lg = (None if args.skip_quality else teacher_forced_logits(
+            qp, hp, cond, text, n_text, forced, kv_int8=False))
+        report("int8-weights", toks, tps, lg)
 
     # ---- both -------------------------------------------------------------
-    log("int8 weights + int8 KV decode (compile + run) ...")
-    gen(qp, True)
-    toks, tps = timed(qp, True)
-    lg = teacher_forced_logits(qp, hp, cond, text, n_text, forced, kv_int8=True)
-    report("int8-w+kv", toks, tps, lg)
+    if sel("w+kv"):
+        log("int8 weights + int8 KV decode (compile + run) ...")
+        gen(qp, True)
+        toks, tps = timed(qp, True)
+        lg = (None if args.skip_quality else teacher_forced_logits(
+            qp, hp, cond, text, n_text, forced, kv_int8=True))
+        report("int8-w+kv", toks, tps, lg)
+
+    # ---- both, with the pallas int8-KV kernel -----------------------------
+    if sel("w+kv-pallas"):
+        log("int8 weights + int8-KV pallas-kernel decode (compile + run) ...")
+        gen(qp, True, fused_attn=True)
+        toks, tps = timed(qp, True, fused_attn=True)
+        report("int8-w+kv-pallas", toks, tps)
 
 
 if __name__ == "__main__":

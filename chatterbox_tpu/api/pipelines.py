@@ -272,8 +272,13 @@ class ChatterboxTTS(_TTSBase):
 
     def generate(self, text, repetition_penalty=1.2, min_p=0.05, top_p=1.0,
                  audio_prompt_path=None, exaggeration=0.5, cfg_weight=0.5,
-                 temperature=0.8, max_new_tokens=1000):
-        """(ref: tts.py:208-272)"""
+                 temperature=0.8, max_new_tokens=1000, kv_int8=False):
+        """(ref: tts.py:208-272)
+
+        kv_int8: opt-in int8 KV cache + pallas streamed-dequant attention
+        (see ChatterboxTurboTTS.generate — CFG's batch-2 decode doubles
+        cache traffic, so the long-context win is larger here; off until
+        validated on real checkpoints)."""
         if audio_prompt_path:
             self.prepare_conditionals(audio_prompt_path, exaggeration=exaggeration)
         else:
@@ -298,13 +303,15 @@ class ChatterboxTTS(_TTSBase):
                 self.t3_params, self.hp, self.conds.t3.as_arrays(),
                 jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
                 self._next_key(), max_new_tokens=max_new_tokens,
-                cfg_mode=True)
+                cfg_mode=True, kv_int8=kv_int8, fused_attn=kv_int8)
         else:
             # batch-1 when cfg_weight==0, like the reference (ref: tts.py:237-238)
             res = t3_generate(self.t3_params, self.hp, self.conds.t3.as_arrays(),
                               jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
                               self._next_key(), max_new_tokens=max_new_tokens,
-                              cfg_mode=True, cfg_batch2=cfg_weight > 0)
+                              cfg_mode=True, cfg_batch2=cfg_weight > 0,
+                              kv_int8=kv_int8,
+                              fused_attn=(True if kv_int8 else None))
         # device-side tail: slice SOS..EOS, drop >= vocab, empty → silence
         # (ref: tts.py:260-264)
         wav, _ = self._decode_to_wav(res, cfg_slice=True)

@@ -134,3 +134,22 @@ class TestInt8KVCache:
         assert int(b.n_tokens) == 20
         same = np.mean(np.asarray(a.tokens) == np.asarray(b.tokens))
         assert same >= 0.75, (a.tokens, b.tokens)
+
+    def test_chunked_int8_fused_attn_llama_cfg(self):
+        """Same kernel routing on the llama/CFG family (full KV heads):
+        runs through the pallas int8 kernel in interpret mode and produces
+        a full token stream."""
+        from chatterbox_tpu.sampling.chunked import t3_generate_bucketed
+        hp, params, cond = _setup("llama")
+        text = jnp.pad(jnp.arange(1, 9, dtype=jnp.int32)[None],
+                       ((0, 0), (0, 8)))
+        sp = SamplerParams.make(temperature=0.8, top_p=0.9, min_p=0.0,
+                                repetition_penalty=1.2, cfg_weight=0.5)
+        res = t3_generate_bucketed(params, hp, cond, text, jnp.asarray(8),
+                                   sp, jax.random.key(5), max_new_tokens=20,
+                                   cfg_mode=True, ignore_eos=True,
+                                   first_segment=8, kv_int8=True,
+                                   fused_attn=True)
+        assert int(res.n_tokens) == 20
+        toks = np.asarray(res.tokens)
+        assert ((0 <= toks) & (toks < hp.speech_tokens_dict_size)).all()

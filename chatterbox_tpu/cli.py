@@ -135,6 +135,9 @@ def _cmd_serve(args):
         decoder, model.s3gen, model.tokenizer,
         {"default": Voice(model.conds.t3, model.conds.gen)},
         sr=model.sr, host=args.host, port=args.port)
+    if args.warmup:
+        print("warming the serving program grid ...")
+        server.warmup()
     server.start()
     print(f"serving on http://{server.host}:{server.port}  "
           f"(POST /tts, GET /voices, GET /healthz)")
@@ -162,6 +165,10 @@ def main(argv=None):
     ps.add_argument("--port", type=int, default=8321)
     ps.add_argument("--max-batch", type=int, default=8)
     ps.add_argument("--ckpt-dir", default=None)
+    ps.add_argument("--warmup", action="store_true",
+                    help="pre-compile the full serving program grid before "
+                         "accepting traffic (one-time with the persistent "
+                         "compile cache)")
     args = ap.parse_args(argv)
     if args.cmd == "synth":
         _cmd_synth(args)

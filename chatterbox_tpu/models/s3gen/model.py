@@ -674,6 +674,34 @@ class S3GenEngine:
         return [wavs[i, : Gs[i] * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE]
                 for i in range(len(Gs))]
 
+    def warmup_grid(self, ref: RefDict, *, max_gen: int, min_gen: int = 1,
+                    batch_sizes=(1, 2, 4, 8)) -> int:
+        """Compile the batched fused-inference program grid serving can hit.
+
+        `inference_batch_dispatch` buckets every free axis, so for voices
+        with `ref`'s prompt/feat lengths and generations in
+        [min_gen, max_gen] the reachable programs are exactly
+        {pow-2 batch sizes} × {(token-bucket, mel-bucket) combos along the
+        generation-length axis}. A serving loop retiring variable row counts
+        each round then never compiles mid-traffic; with the persistent
+        compile cache the cost is one-time per image. Returns the number of
+        programs touched. Synthetic token content (token 0) — outputs are
+        discarded."""
+        P = int(np.asarray(ref.prompt_token_len).reshape(-1)[0])
+        combos: dict = {}
+        for g in range(max(1, min_gen), max_gen + 1):
+            key = (_bucket(P + g, TOKEN_BUCKETS),
+                   _bucket(TOKEN_MEL_RATIO * g, GEN_MEL_BUCKETS))
+            combos[key] = g            # ascending g: max of each combo wins
+        n = 0
+        for B in batch_sizes:
+            keys = jnp.stack([jax.random.key(i) for i in range(B)])
+            for g in sorted(combos.values()):
+                self.inference_batch([np.zeros((g,), np.int32)] * B,
+                                     [ref] * B, keys)
+                n += 1
+        return n
+
     # ------------------------------------------------------------------
     # wav → tokens (for VC; ref: vc.py:94-97)
     # ------------------------------------------------------------------

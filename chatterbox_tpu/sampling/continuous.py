@@ -406,3 +406,75 @@ class ContinuousTTSServer:
         if self.s3gen is not None:
             self._flush_vocode()
         return self.results
+
+    # ------------------------------------------------------------------
+    def warmup(self, cond, ref=None, *, max_gen: Optional[int] = None,
+               min_gen: int = 1, batch_sizes=None) -> None:
+        """Compile every device program real traffic can reach, up front.
+
+        The serving loop's compile surface is: `admit`, `decode_chunk_multi`
+        and `pack_status` at EVERY bucketed cache capacity on the doubling
+        growth schedule (grow_slot_cache), plus — when vocoding in-loop —
+        the batched vocode grid (S3GenEngine.warmup_grid). Instead of
+        decoding max_gen real tokens to trigger the growths, this walks the
+        schedule directly: one admit + one chunk + one status fetch per
+        capacity. Content is synthetic (`cond` supplies real shapes; `ref`
+        the voice bundle for the vocode grid) and all state is re-initialised
+        afterwards, leaving the server pristine. With the persistent compile
+        cache the cost is one-time per image.
+
+        max_gen: generation-length envelope to warm for (default: the
+        server's max_new_tokens); min_gen: known workload floor — skips
+        vocode bucket combos only shorter generations can reach.
+        batch_sizes: vocode batch buckets (default: powers of two up to
+        n_slots)."""
+        max_gen = max_gen or self.max_new_tokens
+        # start from the canonical initial capacity so the walked schedule
+        # is exactly the one _dispatch_round's doubling produces
+        self._t_cap = min(self._t_full,
+                          self._cap_base + max(4 * self.chunk, 16))
+        self.state = init_slots(self.hp, self.n_slots, self.text_bucket,
+                                self.max_new_tokens, t_cap=self._t_cap)
+        cond_arr = cond.as_arrays() if hasattr(cond, "as_arrays") else cond
+        text = jnp.zeros((1, self.text_bucket), jnp.int32)
+        args = (jnp.asarray(1, jnp.int32), jax.random.key(0),
+                jnp.asarray(max_gen, jnp.int32), jnp.asarray(0.8),
+                jnp.asarray(0.95), jnp.asarray(1.2))
+
+        def _touch():
+            self.state = admit(self.t3_params, self.hp, self.state,
+                               jnp.asarray(0), cond_arr, text, *args)
+            self.state = decode_chunk_multi(self.t3_params, self.hp,
+                                            self.state, n_steps=self.chunk,
+                                            top_k=self.top_k)
+            np.asarray(pack_status(self.state))
+
+        _touch()
+        # +2 chunks: one for the in-flight round, one for the lagged harvest
+        cap_target = min(self._t_full,
+                         self._cap_base + max_gen + 2 * self.chunk)
+        while self._t_cap < cap_target:
+            self._t_cap = min(self._t_full,
+                              self._cap_base
+                              + 2 * (self._t_cap - self._cap_base))
+            self.state = grow_slot_cache(self.state, new_t_cap=self._t_cap)
+            _touch()
+        if self.s3gen is not None and ref is not None:
+            if batch_sizes is None:
+                batch_sizes, b = [], 1
+                while b <= self.n_slots:
+                    batch_sizes.append(b)
+                    b *= 2
+            self.s3gen.warmup_grid(ref, max_gen=max_gen, min_gen=min_gen,
+                                   batch_sizes=tuple(batch_sizes))
+        # reset to a pristine idle server at the initial (small) capacity
+        self._t_cap = min(self._t_full,
+                          self._cap_base + max(4 * self.chunk, 16))
+        self.state = init_slots(self.hp, self.n_slots, self.text_bucket,
+                                self.max_new_tokens, t_cap=self._t_cap)
+        self._slot_req = [None] * self.n_slots
+        self._slot_bound = [0] * self.n_slots
+        self._pending.clear()
+        self.results.clear()
+        self.wavs.clear()
+        self._voc_pending = None

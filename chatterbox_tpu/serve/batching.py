@@ -86,9 +86,25 @@ class BatchDecoder:
 
     def decode_batch_dispatch(self, requests: list[TTSRequest]):
         """Async half: enqueues the batched decode, returns a handle without
-        syncing (the pipelined ServingLoop fetches later)."""
+        syncing (the pipelined ServingLoop fetches later).
+
+        The batch axis is padded to the next power of two (last request
+        replicated) so variable-size batches reuse one compiled program per
+        pow2 bucket instead of compiling per composition — same policy as the
+        vocode path (models/s3gen/model.py inference_batch_dispatch). Decode
+        is weight-bound at these batch sizes, so pad rows are ~free; a
+        replicated row finishes at the same step as its original, adding no
+        steps. The handle keeps the real request list; fetch ignores pad
+        rows."""
         B = len(requests)
         assert B >= 1
+        Bp = 1
+        while Bp < B:
+            Bp *= 2
+        real = requests
+        if Bp > B:
+            requests = list(requests) + [requests[-1]] * (Bp - B)
+            B = Bp
         lens = [len(r.text_tokens) for r in requests]
         bucket = text_bucket(max(lens))
         text = np.zeros((B, bucket), np.int32)
@@ -124,7 +140,33 @@ class BatchDecoder:
                 jnp.asarray(lens, jnp.int32), sp, keys,
                 max_new_tokens=self.max_new_tokens, top_k=self.top_k,
                 cfg_mode=self.cfg)
-        return (res, requests)
+        return (res, real)
+
+    def warmup(self, cond, *, max_text_len: int, batch_sizes=None) -> int:
+        """Compile the decode-program grid traffic can hit: pow2 batch
+        buckets × text buckets up to bucket(max_text_len). The bucketed
+        decode dispatches every cache-growth segment unconditionally, so one
+        call per cell compiles every capacity; EOS early-exit inside the
+        chunk while_loops keeps the warm compute cheap. Synthetic text
+        (token 1), results discarded. Returns the number of cells touched.
+        With the persistent compile cache this is one-time per image."""
+        from ..sampling.decode import TEXT_BUCKETS
+        cap = text_bucket(max_text_len)
+        buckets = [b for b in TEXT_BUCKETS if b <= cap]
+        if batch_sizes is None:
+            batch_sizes, b = [], 1
+            while b <= self.max_batch:
+                batch_sizes.append(b)
+                b *= 2
+        n = 0
+        for B in batch_sizes:
+            for tb in buckets:
+                self.decode_batch([
+                    TTSRequest(text_tokens=np.ones((tb,), np.int32),
+                               cond=cond, request_id=-1 - i, seed=0)
+                    for i in range(B)])
+                n += 1
+        return n
 
     def decode_batch_fetch(self, handle) -> list[TTSResult]:
         """Sync half: fetches tokens and builds per-request results."""

@@ -82,6 +82,36 @@ class TTSHTTPServer:
         self.host, self.port = self._httpd.server_address[:2]
 
     # ------------------------------------------------------------------
+    def warmup(self, *, max_text_len: int = 256,
+               max_gen: Optional[int] = None) -> None:
+        """Pre-compile the serving program grid so no real request ever pays
+        an XLA compile: the decode cells (BatchDecoder.warmup) plus, when the
+        loop vocodes, the batched vocode grid per distinct voice prompt shape
+        (S3GenEngine.warmup_grid). Call before start(); with the persistent
+        compile cache the cost is one-time per image."""
+        decoder = self.loop.decoder
+        max_gen = max_gen or decoder.max_new_tokens
+        batch_sizes, b = [], 1
+        while b <= decoder.max_batch:
+            batch_sizes.append(b)
+            b *= 2
+        first = next(iter(self.voices.values()))
+        decoder.warmup(first.cond, max_text_len=max_text_len,
+                       batch_sizes=batch_sizes)
+        if self.loop.s3gen is not None:
+            seen = set()
+            for voice in self.voices.values():
+                if voice.ref is None:
+                    continue
+                shape = (int(np.asarray(voice.ref.prompt_token_len)
+                             .reshape(-1)[0]),
+                         voice.ref.prompt_feat.shape[1])
+                if shape in seen:
+                    continue
+                seen.add(shape)
+                self.loop.s3gen.warmup_grid(voice.ref, max_gen=max_gen,
+                                            batch_sizes=tuple(batch_sizes))
+
     def _on_result(self, result):
         ev = self._events.get(result.request_id)
         if ev is None:

@@ -154,3 +154,91 @@ class TestBucketedSlotCache:
         assert set(small) == set(full) == {0, 1, 2}
         for rid in small:
             np.testing.assert_array_equal(small[rid], full[rid])
+
+
+class TestWarmup:
+    def test_warmup_pristine_and_results_unchanged(self, setup):
+        """warmup() walks the full growth schedule, then leaves the server
+        pristine: same results as a never-warmed server, state reset to the
+        initial small capacity, nothing queued or retained."""
+        hp, params, cond = setup
+
+        def reqs():
+            return [_req(cond, rid=i, seed=700 + i, n_text=14, max_new=24)
+                    for i in range(4)]
+
+        plain_srv = _server(hp, params)
+        for r in reqs():
+            plain_srv.submit(r)
+        plain = plain_srv.run_until_idle()
+
+        srv = _server(hp, params)
+        srv.warmup(cond)                     # default max_gen=max_new_tokens
+        # pristine: initial capacity, no slots occupied, nothing retained
+        assert srv._t_cap == min(srv._t_full,
+                                 srv._cap_base + max(4 * srv.chunk, 16))
+        assert all(r is None for r in srv._slot_req)
+        assert not srv.results and not srv.wavs and not srv._pending
+        for r in reqs():
+            srv.submit(r)
+        warm = srv.run_until_idle()
+        assert set(warm) == set(plain)
+        for rid in plain:
+            np.testing.assert_array_equal(warm[rid], plain[rid])
+
+    def test_warmup_with_vocode_grid(self, setup):
+        """warmup(cond, ref) also compiles the vocode grid; served audio is
+        unchanged vs a never-warmed server (per-request seeds)."""
+        from chatterbox_tpu.models.s3gen.model import (S3GenEngine, s3gen_init,
+                                                       S3GEN_SR)
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        hp, params, cond = setup
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(2), meanflow=True,
+                                     tok_cfg=tok_cfg, dims=dims,
+                                     hift_base=32),
+                          meanflow=True, tok_cfg=tok_cfg, dims=dims,
+                          n_timesteps=2)
+        rng = np.random.default_rng(11)
+        ref = eng.embed_ref(
+            (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+            S3GEN_SR)
+
+        def serve(warm: bool):
+            srv = _server(hp, params, s3gen=eng)
+            if warm:
+                srv.warmup(cond, ref, max_gen=6, batch_sizes=(1, 2))
+                assert not srv.wavs and srv._voc_pending is None
+            for i in range(2):
+                r = _req(cond, rid=i, seed=900 + i, max_new=6)
+                r.ref = ref
+                srv.submit(r)
+            srv.run_until_idle()
+            return srv.wavs
+
+        cold, warm = serve(False), serve(True)
+        assert set(cold) == set(warm) == {0, 1}
+        for rid in cold:
+            np.testing.assert_array_equal(warm[rid], cold[rid])
+
+    def test_engine_warmup_grid_counts_programs(self, setup):
+        """warmup_grid touches one program per (batch, bucket-combo) pair."""
+        from chatterbox_tpu.models.s3gen.model import (S3GenEngine, s3gen_init,
+                                                       S3GEN_SR)
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(3), meanflow=True,
+                                     tok_cfg=tok_cfg, dims=dims,
+                                     hift_base=32),
+                          meanflow=True, tok_cfg=tok_cfg, dims=dims,
+                          n_timesteps=2)
+        rng = np.random.default_rng(12)
+        ref = eng.embed_ref(
+            (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+            S3GEN_SR)
+        n = eng.warmup_grid(ref, max_gen=8, batch_sizes=(1,))
+        assert n >= 1

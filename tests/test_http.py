@@ -143,6 +143,15 @@ class TestHTTP:
         assert server._results == {}
         assert server._events == {}
 
+    def test_warmup_then_serve(self, server):
+        """warmup() precompiles the decode cells + vocode grid and the
+        server still answers correctly afterwards."""
+        server.warmup(max_text_len=16, max_gen=8)
+        with _post(server, {"text": "hello", "voice": "default",
+                            "seed": 77}) as r:
+            sr, pcm = _parse_wav(r.read())
+        assert sr == 24000 and len(pcm) > 0
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(

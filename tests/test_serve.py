@@ -172,6 +172,41 @@ class TestServingLoop:
             assert (r.speech_tokens < 6561).all()
 
 
+class TestBatchPow2Padding:
+    def _req(self, hp, cond, i):
+        rng = np.random.default_rng(40 + i)
+        return TTSRequest(text_tokens=rng.integers(1, 60, 5 + i).astype(np.int32),
+                          cond=cond, request_id=i, seed=40 + i,
+                          sampler=SamplerParams.make(cfg_weight=0.0))
+
+    def test_padded_batch_matches_isolated(self, setup):
+        """A batch of 3 (padded to 4 rows on device) returns per-request
+        results identical to each request decoded alone — the pad rows are
+        invisible."""
+        hp, params = setup
+        cond = T3CondHost(np.zeros((1, 256), np.float32),
+                          np.zeros((1, hp.speech_cond_prompt_len), np.int32))
+        dec = BatchDecoder(params, hp, max_batch=4, max_new_tokens=6, top_k=40)
+        batch = dec.decode_batch([self._req(hp, cond, i) for i in range(3)])
+        assert len(batch) == 3                     # pad row not returned
+        for i, b in enumerate(batch):
+            solo = dec.decode_batch([self._req(hp, cond, i)])[0]
+            assert b.request_id == solo.request_id == i
+            np.testing.assert_array_equal(b.speech_tokens, solo.speech_tokens)
+
+    def test_decoder_warmup_grid(self, setup):
+        """warmup compiles pow2-batch × text-bucket cells and leaves the
+        decoder fully functional."""
+        hp, params = setup
+        cond = T3CondHost(np.zeros((1, 256), np.float32),
+                          np.zeros((1, hp.speech_cond_prompt_len), np.int32))
+        dec = BatchDecoder(params, hp, max_batch=4, max_new_tokens=6, top_k=40)
+        n = dec.warmup(cond, max_text_len=5)
+        assert n == 3          # B ∈ {1,2,4} × one text bucket (32)
+        out = dec.decode_batch([self._req(hp, cond, 0)])
+        assert (out[0].speech_tokens < 6561).all()
+
+
 class TestChunkText:
     def test_sentence_chunking(self):
         text = "One. Two! Three? " + "x" * 10

@@ -84,26 +84,15 @@ def main():
 
     voc = None if args.decode_only else engine
     # ---- continuous slot server ------------------------------------------
-    log("continuous: compiling (admit + chunk programs) ...")
-    warm = ContinuousTTSServer(t3p, hp, n_slots=args.slots, text_bucket=32,
-                               max_new_tokens=256, chunk=args.chunk,
-                               s3gen=voc)
-    for r in make_requests()[: args.slots + 1]:   # exercise admit+backfill
-        warm.submit(r)
-    warm.run_until_idle()
-    if voc is not None:
-        # warm every pow2 vocode batch bucket the harvest loop can hit
-        for B in (1, 2, 4, 8):
-            if B > args.slots:
-                break
-            rows = [rng.integers(0, 6561, (int(caps.max()),)).astype(np.int32)
-                    ] * B
-            voc.inference_batch(rows, [ref] * B,
-                                jnp.stack([jax.random.key(i)
-                                           for i in range(B)]))
+    log("continuous: warmup (decode growth schedule + vocode grid) ...")
     srv = ContinuousTTSServer(t3p, hp, n_slots=args.slots, text_bucket=32,
                               max_new_tokens=256, chunk=args.chunk,
                               s3gen=voc)
+    # compiles admit/chunk/status at every cache capacity on the growth
+    # schedule plus the pow2-batch × bucket-combo vocode grid — exactly what
+    # production serving pre-warms (persistent cache: one-time per image)
+    srv.warmup(cond, ref if voc is not None else None,
+               max_gen=int(caps.max()), min_gen=int(caps.min()))
     for r in make_requests():
         srv.submit(r)
     t0 = time.perf_counter()

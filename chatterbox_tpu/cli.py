@@ -131,10 +131,19 @@ def _cmd_serve(args):
         model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
     model.prepare_conditionals(args.voice)
     decoder = BatchDecoder(model.t3_params, model.hp, max_batch=args.max_batch)
+    def _stream_fn(text, voice, seed, **kw):
+        # streaming rides the single-stream pipeline (chunked decode +
+        # streaming vocoder); only its sampler knobs apply
+        kw = {k: v for k, v in kw.items()
+              if k in ("temperature", "top_p", "repetition_penalty")}
+        if seed is not None:
+            model.set_seed(int(seed))
+        yield from model.generate_stream(text, **kw)
+
     server = TTSHTTPServer(
         decoder, model.s3gen, model.tokenizer,
         {"default": Voice(model.conds.t3, model.conds.gen)},
-        sr=model.sr, host=args.host, port=args.port)
+        sr=model.sr, host=args.host, port=args.port, stream_fn=_stream_fn)
     if args.warmup:
         print("warming the serving program grid ...")
         server.warmup()

@@ -8,6 +8,9 @@ stdlib ThreadingHTTPServer — no extra dependencies:
   POST /tts     {"text": "...", "voice": "<id>", "seed": 3,
                  "temperature": 0.8, "top_p": 0.95,
                  "repetition_penalty": 1.2}          → audio/wav (PCM16)
+  POST /tts     {..., "stream": true}                → chunked audio/wav —
+                 audio bytes flow as chunks are synthesized (time-to-first-
+                 audio latency; requires a stream_fn, see TTSHTTPServer)
   GET  /voices                                       → {"voices": [...]}
   GET  /healthz                                      → {"ok": true, ...}
 
@@ -29,8 +32,8 @@ from ..ops.sampling import SamplerParams
 from .batching import BatchDecoder, ServingLoop, TTSRequest
 
 
-def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
-    """float32 mono -> in-memory RIFF/PCM16 (native packetizer when built)."""
+def pcm16_bytes(wav: np.ndarray) -> bytes:
+    """float32 mono -> raw PCM16 bytes (native packetizer when built)."""
     wav = np.ascontiguousarray(np.clip(np.asarray(wav, np.float32).reshape(-1),
                                        -1.0, 1.0))
     pcm = np.empty(len(wav), np.int16)
@@ -43,11 +46,25 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
         lib.pcm16_from_f32(wav, pcm, len(wav))
     else:
         pcm[:] = np.round(wav * 32767.0).astype(np.int16)
-    data = pcm.tobytes()
+    return pcm.tobytes()
+
+
+def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    """float32 mono -> in-memory RIFF/PCM16."""
+    data = pcm16_bytes(wav)
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
         1, 1, sr, sr * 2, 2, 16, b"data", len(data))
     return hdr + data
+
+
+def wav_stream_header(sr: int) -> bytes:
+    """RIFF/PCM16 header with unknown (max) sizes — the streaming endpoint
+    sends it first and then raw PCM16 chunks; players treat 0xFFFFFFFF as
+    'read until the stream ends'."""
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 0xFFFFFFFF, b"WAVE", b"fmt ", 16,
+        1, 1, sr, sr * 2, 2, 16, b"data", 0xFFFFFFFF)
 
 
 class Voice:
@@ -67,12 +84,22 @@ class TTSHTTPServer:
 
     def __init__(self, decoder: BatchDecoder, s3gen, tokenizer,
                  voices: dict, sr: int = 24000, host: str = "127.0.0.1",
-                 port: int = 8321, frame_text=None, timeout_s: float = 300.0):
+                 port: int = 8321, frame_text=None, timeout_s: float = 300.0,
+                 stream_fn=None):
+        """stream_fn (optional): enables `"stream": true` requests —
+        a callable (text, voice, seed, **sampler_kw) yielding float32 wav
+        chunks as they are synthesized (e.g. a pipeline's generate_stream).
+        The response is then Transfer-Encoding: chunked audio/wav, audio
+        flowing at time-to-first-audio latency instead of after the full
+        synthesis. Streams are serialized (one drives the device at a
+        time); batched non-stream requests interleave freely."""
         self.sr = sr
         self.tokenizer = tokenizer
         self.voices = voices
         self.frame_text = frame_text
         self.timeout_s = timeout_s
+        self.stream_fn = stream_fn
+        self._stream_lock = threading.Lock()
         self._events: dict[int, threading.Event] = {}
         self._results: dict[int, object] = {}
         self._next_id = 0
@@ -186,6 +213,12 @@ class TTSHTTPServer:
                     kw = {k: float(req[k]) for k in
                           ("temperature", "top_p", "min_p",
                            "repetition_penalty", "cfg_weight") if k in req}
+                    if req.get("stream"):
+                        if server_self.stream_fn is None:
+                            return self._json(400, {
+                                "error": "streaming not enabled "
+                                         "(server has no stream_fn)"})
+                        return self._stream(text, voice, req.get("seed"), kw)
                     wav = server_self.synthesize(
                         text, voice, seed=req.get("seed"), **kw)
                 except TimeoutError as e:
@@ -200,6 +233,27 @@ class TTSHTTPServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _stream(self, text, voice, seed, kw):
+                """Chunked audio/wav: WAV header first, then each synthesized
+                chunk as PCM16 the moment it exists. A mid-stream failure can
+                only truncate the stream (the 200 is already sent)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(b: bytes):
+                    self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+                emit(wav_stream_header(server_self.sr))
+                try:
+                    with server_self._stream_lock:
+                        for chunk in server_self.stream_fn(
+                                text, server_self.voices[voice], seed, **kw):
+                            emit(pcm16_bytes(chunk))
+                finally:
+                    self.wfile.write(b"0\r\n\r\n")
 
         return Handler
 

@@ -152,6 +152,42 @@ class TestHTTP:
             sr, pcm = _parse_wav(r.read())
         assert sr == 24000 and len(pcm) > 0
 
+    def test_streaming_endpoint(self, server):
+        """`"stream": true` returns chunked audio/wav: header with unknown
+        sizes, then each yielded chunk as PCM16, reassembling to the full
+        waveform."""
+        chunks = [np.full(100, 0.1, np.float32),
+                  np.full(50, -0.2, np.float32),
+                  np.zeros(10, np.float32)]
+        calls = {}
+
+        def sfn(text, voice, seed, **kw):
+            calls["args"] = (text, seed, kw)
+            yield from chunks
+
+        server.stream_fn = sfn
+        try:
+            with _post(server, {"text": "stream me", "voice": "default",
+                                "stream": True, "seed": 9,
+                                "temperature": 0.7}) as r:
+                body = r.read()
+        finally:
+            server.stream_fn = None
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        assert struct.unpack("<I", body[4:8])[0] == 0xFFFFFFFF
+        pcm = np.frombuffer(body[44:], np.int16)
+        exp = np.concatenate(chunks)
+        assert len(pcm) == len(exp)
+        np.testing.assert_allclose(pcm / 32767.0, exp, atol=1 / 32767.0 + 1e-6)
+        text, seed, kw = calls["args"]
+        assert text == "stream me" and seed == 9
+        assert kw == {"temperature": 0.7}
+
+    def test_stream_without_stream_fn_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, {"text": "x", "voice": "default", "stream": True})
+        assert ei.value.code == 400
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(

@@ -129,27 +129,33 @@ def _cmd_serve(args):
         model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
     else:
         model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
-    model.prepare_conditionals(args.voice)
+    voices = {}
+    for spec in args.voice:
+        name, _, path = spec.rpartition("=")
+        name = name or "default"
+        model.prepare_conditionals(path)
+        voices[name] = Voice(model.conds.t3, model.conds.gen)
     decoder = BatchDecoder(model.t3_params, model.hp, max_batch=args.max_batch)
     def _stream_fn(text, voice, seed, **kw):
         # streaming rides the single-stream pipeline (chunked decode +
         # streaming vocoder); only its sampler knobs apply
+        from chatterbox_tpu.api.pipelines import Conditionals
         kw = {k: v for k, v in kw.items()
               if k in ("temperature", "top_p", "repetition_penalty")}
         if seed is not None:
             model.set_seed(int(seed))
+        model.conds = Conditionals(voice.cond, voice.ref)
         yield from model.generate_stream(text, **kw)
 
     server = TTSHTTPServer(
-        decoder, model.s3gen, model.tokenizer,
-        {"default": Voice(model.conds.t3, model.conds.gen)},
+        decoder, model.s3gen, model.tokenizer, voices,
         sr=model.sr, host=args.host, port=args.port, stream_fn=_stream_fn)
     if args.warmup:
         print("warming the serving program grid ...")
         server.warmup()
     server.start()
     print(f"serving on http://{server.host}:{server.port}  "
-          f"(POST /tts, GET /voices, GET /healthz)")
+          f"(POST /tts [+stream], GET /voices /healthz /metrics)")
     try:
         while True:
             time.sleep(3600)
@@ -168,7 +174,9 @@ def main(argv=None):
     pv.add_argument("--ckpt-dir", default=None)
     sub.add_parser("info", help="environment/model info")
     ps = sub.add_parser("serve", help="batched HTTP TTS server")
-    ps.add_argument("--voice", required=True, help=">5 s reference wav")
+    ps.add_argument("--voice", required=True, action="append",
+                    help=">5 s reference wav; repeatable, 'name=path' "
+                         "registers a named voice (bare path → 'default')")
     ps.add_argument("--model", choices=["turbo", "nano"], default="turbo")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8321)

@@ -13,6 +13,9 @@ stdlib ThreadingHTTPServer — no extra dependencies:
                  audio latency; requires a stream_fn, see TTSHTTPServer)
   GET  /voices                                       → {"voices": [...]}
   GET  /healthz                                      → {"ok": true, ...}
+  GET  /metrics                                      → Prometheus text
+                 (request counts/latency stages, streamed TTFA, audio
+                 seconds produced, errors); /metrics.json for JSON
 
 Concurrent requests are grouped into device batches by the loop (one batched
 decode + one batched fused S3Gen per group), so N simultaneous callers cost
@@ -21,14 +24,17 @@ decode + one batched fused S3Gen per group), so N simultaneous callers cost
 from __future__ import annotations
 
 import json
+import re
 import struct
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
 from ..ops.sampling import SamplerParams
+from ..utils.profiling import Metrics
 from .batching import BatchDecoder, ServingLoop, TTSRequest
 
 
@@ -56,6 +62,21 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
         "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
         1, 1, sr, sr * 2, 2, 16, b"data", len(data))
     return hdr + data
+
+
+def metrics_text(m: Metrics) -> str:
+    """Metrics in Prometheus text exposition format (stages → *_seconds_total
+    / *_count / *_seconds_max, counters → plain gauges)."""
+    lines = []
+    for name, v in m.report().items():
+        base = "chatterbox_" + re.sub(r"[^a-zA-Z0-9_]", "_", name)
+        if isinstance(v, dict):
+            lines.append(f"{base}_seconds_total {v['total_s']}")
+            lines.append(f"{base}_count {v['count']}")
+            lines.append(f"{base}_seconds_max {v['max_s']}")
+        else:
+            lines.append(f"{base} {v}")
+    return "\n".join(lines) + "\n"
 
 
 def wav_stream_header(sr: int) -> bytes:
@@ -100,6 +121,7 @@ class TTSHTTPServer:
         self.timeout_s = timeout_s
         self.stream_fn = stream_fn
         self._stream_lock = threading.Lock()
+        self.metrics = Metrics()      # GET /metrics (prom) | /metrics.json
         self._events: dict[int, threading.Event] = {}
         self._results: dict[int, object] = {}
         self._next_id = 0
@@ -174,7 +196,9 @@ class TTSHTTPServer:
         if result.wav is None:
             raise RuntimeError("serving loop returned no audio "
                                "(missing RefDict?)")
-        return np.asarray(result.wav).reshape(-1)
+        wav = np.asarray(result.wav).reshape(-1)
+        self.metrics.count("audio_seconds_total", len(wav) / self.sr)
+        return wav
 
     # ------------------------------------------------------------------
     def _make_handler(server_self):
@@ -196,6 +220,16 @@ class TTSHTTPServer:
                                      "pending": server_self.loop._q.qsize()})
                 elif self.path == "/voices":
                     self._json(200, {"voices": sorted(server_self.voices)})
+                elif self.path == "/metrics":
+                    body = metrics_text(server_self.metrics).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/metrics.json":
+                    self._json(200, server_self.metrics.report())
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -219,13 +253,19 @@ class TTSHTTPServer:
                                 "error": "streaming not enabled "
                                          "(server has no stream_fn)"})
                         return self._stream(text, voice, req.get("seed"), kw)
+                    server_self.metrics.count("requests_total")
+                    t0 = time.perf_counter()
                     wav = server_self.synthesize(
                         text, voice, seed=req.get("seed"), **kw)
+                    server_self.metrics.add_stage(
+                        "http_tts", time.perf_counter() - t0)
                 except TimeoutError as e:
+                    server_self.metrics.count("errors_total")
                     return self._json(504, {"error": str(e)})
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     return self._json(400, {"error": repr(e)})
                 except Exception as e:
+                    server_self.metrics.count("errors_total")
                     return self._json(500, {"error": repr(e)})
                 body = wav_bytes(wav, server_self.sr)
                 self.send_response(200)
@@ -247,12 +287,25 @@ class TTSHTTPServer:
                     self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
 
                 emit(wav_stream_header(server_self.sr))
+                server_self.metrics.count("stream_requests_total")
+                t0 = time.perf_counter()
+                first = True
                 try:
                     with server_self._stream_lock:
                         for chunk in server_self.stream_fn(
                                 text, server_self.voices[voice], seed, **kw):
+                            if first:
+                                server_self.metrics.add_stage(
+                                    "http_stream_ttfa",
+                                    time.perf_counter() - t0)
+                                first = False
+                            server_self.metrics.count(
+                                "audio_seconds_total",
+                                np.asarray(chunk).size / server_self.sr)
                             emit(pcm16_bytes(chunk))
                 finally:
+                    server_self.metrics.add_stage(
+                        "http_stream", time.perf_counter() - t0)
                     self.wfile.write(b"0\r\n\r\n")
 
         return Handler

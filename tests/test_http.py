@@ -188,6 +188,28 @@ class TestHTTP:
             _post(server, {"text": "x", "voice": "default", "stream": True})
         assert ei.value.code == 400
 
+    def test_metrics_endpoints(self, server):
+        """Serving metrics are recorded per request and exported both as
+        Prometheus text and JSON."""
+        with _post(server, {"text": "metric me", "voice": "default",
+                            "seed": 123}) as r:
+            r.read()
+        with urllib.request.urlopen(
+                f"http://{server.host}:{server.port}/metrics.json",
+                timeout=30) as r:
+            rep = json.loads(r.read())
+        assert rep["requests_total"] >= 1
+        assert rep["audio_seconds_total"] > 0
+        assert rep["http_tts"]["count"] >= 1
+        assert rep["http_tts"]["mean_s"] > 0
+        with urllib.request.urlopen(
+                f"http://{server.host}:{server.port}/metrics",
+                timeout=30) as r:
+            text = r.read().decode()
+            assert r.headers["Content-Type"].startswith("text/plain")
+        assert "chatterbox_http_tts_count" in text
+        assert "chatterbox_requests_total" in text
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(

@@ -147,9 +147,14 @@ def _cmd_serve(args):
         model.conds = Conditionals(voice.cond, voice.ref)
         yield from model.generate_stream(text, **kw)
 
+    def _prepare_fn(path):
+        model.prepare_conditionals(path)
+        return Voice(model.conds.t3, model.conds.gen)
+
     server = TTSHTTPServer(
         decoder, model.s3gen, model.tokenizer, voices,
-        sr=model.sr, host=args.host, port=args.port, stream_fn=_stream_fn)
+        sr=model.sr, host=args.host, port=args.port, stream_fn=_stream_fn,
+        prepare_fn=_prepare_fn)
     if args.warmup:
         print("warming the serving program grid ...")
         server.warmup()

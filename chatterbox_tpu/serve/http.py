@@ -11,6 +11,8 @@ stdlib ThreadingHTTPServer — no extra dependencies:
   POST /tts     {..., "stream": true}                → chunked audio/wav —
                  audio bytes flow as chunks are synthesized (time-to-first-
                  audio latency; requires a stream_fn, see TTSHTTPServer)
+  POST /voices  {"name": "...", "wav_b64": "<WAV>"}  → register a voice from
+                 reference audio at runtime (requires a prepare_fn)
   GET  /voices                                       → {"voices": [...]}
   GET  /healthz                                      → {"ok": true, ...}
   GET  /metrics                                      → Prometheus text
@@ -106,20 +108,28 @@ class TTSHTTPServer:
     def __init__(self, decoder: BatchDecoder, s3gen, tokenizer,
                  voices: dict, sr: int = 24000, host: str = "127.0.0.1",
                  port: int = 8321, frame_text=None, timeout_s: float = 300.0,
-                 stream_fn=None):
+                 stream_fn=None, prepare_fn=None):
         """stream_fn (optional): enables `"stream": true` requests —
         a callable (text, voice, seed, **sampler_kw) yielding float32 wav
         chunks as they are synthesized (e.g. a pipeline's generate_stream).
         The response is then Transfer-Encoding: chunked audio/wav, audio
         flowing at time-to-first-audio latency instead of after the full
         synthesis. Streams are serialized (one drives the device at a
-        time); batched non-stream requests interleave freely."""
+        time); batched non-stream requests interleave freely.
+
+        prepare_fn (optional): enables POST /voices runtime voice
+        registration — a callable (wav_path) -> Voice building the full
+        conditioning bundle (e.g. a pipeline's prepare_conditionals). The
+        reference's demo apps accept per-request reference audio (ref:
+        gradio_tts_app.py); this is the serving equivalent: register once,
+        then synthesize against the named voice."""
         self.sr = sr
         self.tokenizer = tokenizer
         self.voices = voices
         self.frame_text = frame_text
         self.timeout_s = timeout_s
         self.stream_fn = stream_fn
+        self.prepare_fn = prepare_fn
         self._stream_lock = threading.Lock()
         self.metrics = Metrics()      # GET /metrics (prom) | /metrics.json
         self._events: dict[int, threading.Event] = {}
@@ -234,6 +244,8 @@ class TTSHTTPServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/voices":
+                    return self._register_voice()
                 if self.path != "/tts":
                     return self._json(404, {"error": "not found"})
                 try:
@@ -273,6 +285,40 @@ class TTSHTTPServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _register_voice(self):
+                """POST /voices {"name": "...", "wav_b64": "<WAV file>"} —
+                build and register a voice from reference audio at runtime
+                (201 on success; re-POSTing a name replaces the voice)."""
+                if server_self.prepare_fn is None:
+                    return self._json(400, {
+                        "error": "voice registration not enabled "
+                                 "(server has no prepare_fn)"})
+                import base64
+                import os
+                import tempfile
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    name = str(req["name"])
+                    if not name:
+                        raise ValueError("empty voice name")
+                    wav = base64.b64decode(req["wav_b64"])
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": repr(e)})
+                fd, path = tempfile.mkstemp(suffix=".wav")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(wav)
+                    with server_self._stream_lock:   # device serialization
+                        voice = server_self.prepare_fn(path)
+                except Exception as e:
+                    return self._json(400, {"error": repr(e)})
+                finally:
+                    os.unlink(path)
+                server_self.voices[name] = voice
+                server_self.metrics.count("voices_registered_total")
+                self._json(201, {"ok": True, "voice": name})
 
             def _stream(self, text, voice, seed, kw):
                 """Chunked audio/wav: WAV header first, then each synthesized

@@ -210,6 +210,48 @@ class TestHTTP:
         assert "chatterbox_http_tts_count" in text
         assert "chatterbox_requests_total" in text
 
+    def test_register_voice_roundtrip(self, server):
+        """POST /voices registers a new voice usable for synthesis."""
+        import base64
+        calls = {}
+
+        def prep(path):
+            calls["path"] = path
+            return server.voices["default"]       # reuse the fixture bundle
+
+        server.prepare_fn = prep
+        try:
+            req = urllib.request.Request(
+                f"http://{server.host}:{server.port}/voices",
+                data=json.dumps({"name": "newv",
+                                 "wav_b64": base64.b64encode(
+                                     b"RIFFfakewav").decode()}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.status == 201
+                assert json.loads(r.read())["voice"] == "newv"
+        finally:
+            server.prepare_fn = None
+        assert calls["path"].endswith(".wav")
+        with urllib.request.urlopen(
+                f"http://{server.host}:{server.port}/voices",
+                timeout=30) as r:
+            assert "newv" in json.loads(r.read())["voices"]
+        with _post(server, {"text": "new voice", "voice": "newv",
+                            "seed": 5}) as r:
+            sr, pcm = _parse_wav(r.read())
+        assert sr == 24000 and len(pcm) > 0
+        server.voices.pop("newv")
+
+    def test_register_voice_disabled_400(self, server):
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/voices",
+            data=json.dumps({"name": "x", "wav_b64": ""}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(

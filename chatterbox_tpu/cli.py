@@ -119,6 +119,20 @@ def _cmd_info(_args):
     }, indent=2))
 
 
+def _cmd_watermark(args):
+    from chatterbox_tpu.utils.audio_io import load_audio
+    from chatterbox_tpu.utils.watermark import (SpreadSpectrumWatermarker,
+                                                DETECT_Z)
+    sr = 24000
+    wav = load_audio(args.wav, sr)
+    wm = SpreadSpectrumWatermarker(key=args.key)
+    z = wm.detection_score(wav, sr)
+    print(json.dumps({"file": args.wav,
+                      "detected": bool(z >= DETECT_Z),
+                      "score_z": round(float(z), 2),
+                      "threshold_z": DETECT_Z}))
+
+
 def _cmd_serve(args):
     from chatterbox_tpu import ChatterboxTurboTTS
     from chatterbox_tpu.serve.batching import BatchDecoder
@@ -178,6 +192,13 @@ def main(argv=None):
     pv.add_argument("--out", default="out.wav")
     pv.add_argument("--ckpt-dir", default=None)
     sub.add_parser("info", help="environment/model info")
+    pw = sub.add_parser("watermark",
+                        help="detect the watermark in a wav (the reference "
+                             "documents the same extraction flow via perth, "
+                             "ref: README.md:178-198)")
+    pw.add_argument("wav", help="audio file to check")
+    pw.add_argument("--key", default="chatterbox-tpu",
+                    help="watermark key used at synthesis time")
     ps = sub.add_parser("serve", help="batched HTTP TTS server")
     ps.add_argument("--voice", required=True, action="append",
                     help=">5 s reference wav; repeatable, 'name=path' "
@@ -198,6 +219,8 @@ def main(argv=None):
         _cmd_vc(args)
     elif args.cmd == "info":
         _cmd_info(args)
+    elif args.cmd == "watermark":
+        _cmd_watermark(args)
     elif args.cmd == "serve":
         _cmd_serve(args)
 

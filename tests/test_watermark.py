@@ -105,3 +105,24 @@ class TestPipelinesUseIt:
         marked = w.apply_watermark(x, sample_rate=SR)
         assert not np.array_equal(marked, x)
         assert w.get_watermark(marked, sample_rate=SR) == 1.0
+
+
+class TestWatermarkCLI:
+    def test_detect_command(self, wm, tmp_path, capsys):
+        """`cli watermark` reports detection for marked audio and rejects
+        clean audio (the reference documents the same extraction flow via
+        perth, ref: README.md:178-198)."""
+        import json
+        from chatterbox_tpu.cli import main
+        from chatterbox_tpu.utils.audio_io import save_wav
+        x = speechy(5.0)
+        marked = tmp_path / "m.wav"
+        clean = tmp_path / "c.wav"
+        save_wav(str(marked), wm.apply_watermark(x, sample_rate=SR), SR)
+        save_wav(str(clean), x, SR)
+        main(["watermark", str(marked)])
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["detected"] is True and rep["score_z"] >= rep["threshold_z"]
+        main(["watermark", str(clean)])
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["detected"] is False

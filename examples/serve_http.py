@@ -6,6 +6,26 @@ regardless of batch composition (per-row RNG in decode AND vocode).
 
   python examples/serve_http.py --port 8321 --voice reference.wav
   curl -X POST localhost:8321/tts -d '{"text": "Hello!", "seed": 3}' -o out.wav
+
+Streaming (chunked audio/wav flowing at time-to-first-audio latency):
+
+  curl -N -X POST localhost:8321/tts \
+      -d '{"text": "Hello!", "stream": true}' -o out.wav
+
+Register a new voice at runtime, then synthesize with it:
+
+  python - <<'PY'
+  import base64, json, urllib.request
+  body = {"name": "alice", "wav_b64": base64.b64encode(
+      open("alice_ref.wav", "rb").read()).decode()}
+  urllib.request.urlopen(urllib.request.Request(
+      "http://localhost:8321/voices", json.dumps(body).encode(),
+      {"Content-Type": "application/json"}))
+  PY
+  curl -X POST localhost:8321/tts -d '{"text": "Hi", "voice": "alice"}' -o o.wav
+
+Observability: GET /metrics (Prometheus text) or /metrics.json.
+Pass --warmup to pre-compile the full serving program grid before traffic.
 """
 import argparse
 
@@ -19,24 +39,43 @@ def main():
     ap.add_argument("--port", type=int, default=8321)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--nano", action="store_true")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the serving program grid")
     args = ap.parse_args()
 
     from chatterbox_tpu import ChatterboxTurboTTS
+    from chatterbox_tpu.api.pipelines import Conditionals
     from chatterbox_tpu.serve.batching import BatchDecoder
     from chatterbox_tpu.serve.http import TTSHTTPServer, Voice
 
     model = ChatterboxTurboTTS.from_pretrained(device="tpu", nano=args.nano)
     model.prepare_conditionals(args.voice)
 
+    def stream_fn(text, voice, seed, **kw):
+        kw = {k: v for k, v in kw.items()
+              if k in ("temperature", "top_p", "repetition_penalty")}
+        if seed is not None:
+            model.set_seed(int(seed))
+        model.conds = Conditionals(voice.cond, voice.ref)
+        yield from model.generate_stream(text, **kw)
+
+    def prepare_fn(path):
+        model.prepare_conditionals(path)
+        return Voice(model.conds.t3, model.conds.gen)
+
     decoder = BatchDecoder(model.t3_params, model.hp,
                            max_batch=args.max_batch)
     server = TTSHTTPServer(
         decoder, model.s3gen, model.tokenizer,
         {"default": Voice(model.conds.t3, model.conds.gen)},
-        sr=model.sr, host=args.host, port=args.port)
+        sr=model.sr, host=args.host, port=args.port,
+        stream_fn=stream_fn, prepare_fn=prepare_fn)
+    if args.warmup:
+        print("warming the serving program grid ...")
+        server.warmup()
     server.start()
     print(f"serving on http://{server.host}:{server.port}  "
-          f"(POST /tts, GET /voices, GET /healthz)")
+          f"(POST /tts [+stream], POST /voices, GET /voices /healthz /metrics)")
     try:
         import time
         while True:

@@ -143,10 +143,18 @@ def _cmd_serve(args):
         model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
     else:
         model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
+    import os
     voices = {}
     for spec in args.voice:
-        name, _, path = spec.rpartition("=")
-        name = name or "default"
+        # 'name=path' registers a named voice — but a bare path may itself
+        # contain '=', so only split when the spec isn't an existing file
+        if "=" in spec and not os.path.exists(spec):
+            name, _, path = spec.partition("=")
+        else:
+            name, path = "default", spec
+        if name in voices:
+            raise SystemExit(f"duplicate voice name {name!r} "
+                             f"(use name=path to register extra voices)")
         model.prepare_conditionals(path)
         voices[name] = Voice(model.conds.t3, model.conds.gen)
     decoder = BatchDecoder(model.t3_params, model.hp, max_batch=args.max_batch)

@@ -461,10 +461,10 @@ class ContinuousTTSServer:
             _touch()
         if self.s3gen is not None and ref is not None:
             if batch_sizes is None:
-                batch_sizes, b = [], 1
-                while b <= self.n_slots:
-                    batch_sizes.append(b)
-                    b *= 2
+                # a harvest round can retire up to n_slots rows; the vocode
+                # dispatch pow2-pads, so warm through next_pow2(n_slots)
+                from ..serve.batching import pow2_sizes
+                batch_sizes = pow2_sizes(self.n_slots)
             self.s3gen.warmup_grid(ref, max_gen=max_gen, min_gen=min_gen,
                                    batch_sizes=tuple(batch_sizes))
         # reset to a pristine idle server at the initial (small) capacity

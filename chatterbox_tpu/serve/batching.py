@@ -27,6 +27,19 @@ from ..sampling.decode import text_bucket
 from ..ops.sampling import SamplerParams
 
 
+def pow2_sizes(n: int) -> list:
+    """Powers of two up to AND INCLUDING next_pow2(n) — the batch buckets a
+    pow2-padding dispatch can actually produce for batches of 1..n (a non-
+    pow2 n pads up past itself, so stopping at n would leave the top bucket
+    uncompiled)."""
+    sizes, b = [], 1
+    while b < n:
+        sizes.append(b)
+        b *= 2
+    sizes.append(b)
+    return sizes
+
+
 @dataclasses.dataclass
 class TTSRequest:
     text_tokens: np.ndarray            # (Lt,) token ids — raw BPE (turbo) or
@@ -92,18 +105,24 @@ class BatchDecoder:
         replicated) so variable-size batches reuse one compiled program per
         pow2 bucket instead of compiling per composition — same policy as the
         vocode path (models/s3gen/model.py inference_batch_dispatch). Decode
-        is weight-bound at these batch sizes, so pad rows are ~free; a
-        replicated row finishes at the same step as its original, adding no
-        steps. The handle keeps the real request list; fetch ignores pad
-        rows."""
+        is weight-bound at these batch sizes, so pad rows are ~free; pad rows
+        also REUSE the last real row's RNG key (not a fresh draw), so they
+        sample the identical trajectory and finish at the same step — an
+        unseeded pad row with its own key could decode past every real row
+        and stall the batch. The handle keeps the real request list; fetch
+        ignores pad rows. Note a non-pow2 max_batch rounds up on device
+        (warmup() warms through next_pow2(max_batch))."""
         B = len(requests)
         assert B >= 1
+        keys = self._row_keys(requests)
         Bp = 1
         while Bp < B:
             Bp *= 2
         real = requests
         if Bp > B:
             requests = list(requests) + [requests[-1]] * (Bp - B)
+            keys = jnp.concatenate([keys, jnp.repeat(keys[-1:], Bp - B,
+                                                     axis=0)])
             B = Bp
         lens = [len(r.text_tokens) for r in requests]
         bucket = text_bucket(max(lens))
@@ -123,7 +142,6 @@ class BatchDecoder:
                 if self.hp.emotion_adv else None),
         )
         sp = self._stack_samplers(requests)
-        keys = self._row_keys(requests)
         from ..sampling.chunked import BUCKETED_DECODE_THRESHOLD
         if self.max_new_tokens >= BUCKETED_DECODE_THRESHOLD:
             # serving default budgets: bucketed cache growth (attention
@@ -154,10 +172,7 @@ class BatchDecoder:
         cap = text_bucket(max_text_len)
         buckets = [b for b in TEXT_BUCKETS if b <= cap]
         if batch_sizes is None:
-            batch_sizes, b = [], 1
-            while b <= self.max_batch:
-                batch_sizes.append(b)
-                b *= 2
+            batch_sizes = pow2_sizes(self.max_batch)
         n = 0
         for B in batch_sizes:
             for tb in buckets:

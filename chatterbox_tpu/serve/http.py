@@ -148,12 +148,13 @@ class TTSHTTPServer:
         loop vocodes, the batched vocode grid per distinct voice prompt shape
         (S3GenEngine.warmup_grid). Call before start(); with the persistent
         compile cache the cost is one-time per image."""
+        from .batching import pow2_sizes
         decoder = self.loop.decoder
         max_gen = max_gen or decoder.max_new_tokens
-        batch_sizes, b = [], 1
-        while b <= decoder.max_batch:
-            batch_sizes.append(b)
-            b *= 2
+        batch_sizes = pow2_sizes(decoder.max_batch)
+        if not self.voices:
+            raise ValueError("warmup() needs at least one registered voice "
+                             "(its conditioning supplies the real shapes)")
         first = next(iter(self.voices.values()))
         decoder.warmup(first.cond, max_text_len=max_text_len,
                        batch_sizes=batch_sizes)
@@ -170,6 +171,13 @@ class TTSHTTPServer:
                 seen.add(shape)
                 self.loop.s3gen.warmup_grid(voice.ref, max_gen=max_gen,
                                             batch_sizes=tuple(batch_sizes))
+        if self.stream_fn is not None:
+            # drive one throwaway stream through the real path so the
+            # chunked-decode + streaming-vocoder programs compile too
+            # (first-order: covers the default text bucket)
+            for _ in self.stream_fn("Warm up the streaming path.",
+                                    first, None):
+                pass
 
     def _on_result(self, result):
         ev = self._events.get(result.request_id)
@@ -213,6 +221,11 @@ class TTSHTTPServer:
     # ------------------------------------------------------------------
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
+            # chunked Transfer-Encoding is illegal on HTTP/1.0 responses
+            # (RFC 7230 §3.3.1) — every non-stream path sends
+            # Content-Length, so 1.1 keep-alive is safe
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):
                 pass                                    # quiet by default
 
@@ -323,7 +336,9 @@ class TTSHTTPServer:
             def _stream(self, text, voice, seed, kw):
                 """Chunked audio/wav: WAV header first, then each synthesized
                 chunk as PCM16 the moment it exists. A mid-stream failure can
-                only truncate the stream (the 200 is already sent)."""
+                only truncate the stream (the 200 is already sent) — it is
+                swallowed here, never re-raised into do_POST, which would
+                write a second response onto the completed socket."""
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -349,6 +364,11 @@ class TTSHTTPServer:
                                 "audio_seconds_total",
                                 np.asarray(chunk).size / server_self.sr)
                             emit(pcm16_bytes(chunk))
+                except Exception as e:          # truncate, don't corrupt
+                    server_self.metrics.count("errors_total")
+                    import logging
+                    logging.getLogger(__name__).error(
+                        "mid-stream failure (stream truncated): %r", e)
                 finally:
                     server_self.metrics.add_stage(
                         "http_stream", time.perf_counter() - t0)

@@ -16,6 +16,7 @@ fetch, so stage timings are only meaningful around host-visible results
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from dataclasses import dataclass
@@ -38,33 +39,46 @@ class _StageStats:
 
 
 class Metrics:
+    """Stage timings + counters. Thread-safe: serving handlers record from
+    concurrent threads while /metrics scrapes iterate (an unlocked '+=' is a
+    read-modify-write race, and iterating a dict that a first-time stage
+    insertion mutates raises RuntimeError)."""
+
     def __init__(self):
         self._stages: dict[str, _StageStats] = defaultdict(_StageStats)
         self._counters: dict[str, float] = defaultdict(float)
+        self._lock = threading.Lock()
 
     def add_stage(self, name: str, dt: float):
-        self._stages[name].add(dt)
+        with self._lock:
+            self._stages[name].add(dt)
 
     def count(self, name: str, v: float = 1.0):
-        self._counters[name] += v
+        with self._lock:
+            self._counters[name] += v
 
     def report(self) -> dict:
         out = {}
-        for name, s in sorted(self._stages.items()):
-            out[name] = {"count": s.count, "total_s": round(s.total_s, 4),
-                         "mean_s": round(s.total_s / max(s.count, 1), 4),
-                         "min_s": round(s.min_s, 4), "max_s": round(s.max_s, 4)}
-        for name, v in sorted(self._counters.items()):
-            out[name] = v
+        with self._lock:
+            for name, s in sorted(self._stages.items()):
+                out[name] = {"count": s.count, "total_s": round(s.total_s, 4),
+                             "mean_s": round(s.total_s / max(s.count, 1), 4),
+                             "min_s": round(s.min_s, 4),
+                             "max_s": round(s.max_s, 4)}
+            for name, v in sorted(self._counters.items()):
+                out[name] = v
         return out
 
     def reset(self):
-        self._stages.clear()
-        self._counters.clear()
+        with self._lock:
+            self._stages.clear()
+            self._counters.clear()
 
     def xrt(self, audio_seconds: float, *stage_names: str) -> float:
         """Realtime factor over the given stages' total time."""
-        t = sum(self._stages[n].total_s for n in stage_names if n in self._stages)
+        with self._lock:
+            t = sum(self._stages[n].total_s
+                    for n in stage_names if n in self._stages)
         return audio_seconds / t if t > 0 else float("inf")
 
 

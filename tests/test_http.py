@@ -252,6 +252,45 @@ class TestHTTP:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
 
+    def test_mid_stream_failure_truncates_cleanly(self, server):
+        """A stream_fn that raises mid-stream must truncate the chunked
+        response (terminator sent, no second HTTP response written onto the
+        socket)."""
+        good = np.full(80, 0.25, np.float32)
+
+        def sfn(text, voice, seed, **kw):
+            yield good
+            raise RuntimeError("device fell over")
+
+        server.stream_fn = sfn
+        before = server.metrics.report().get("errors_total", 0)
+        try:
+            with _post(server, {"text": "x", "voice": "default",
+                                "stream": True}) as r:
+                body = r.read()        # dechunks; garbage after the
+                                       # terminator would corrupt this
+        finally:
+            server.stream_fn = None
+        assert body[:4] == b"RIFF"
+        pcm = np.frombuffer(body[44:], np.int16)
+        assert len(pcm) == len(good)               # exactly one chunk, then EOS
+        assert server.metrics.report()["errors_total"] == before + 1
+
+    def test_warmup_requires_a_voice(self, server):
+        saved = server.voices
+        server.voices = {}
+        try:
+            with pytest.raises(ValueError):
+                server.warmup(max_text_len=16, max_gen=8)
+        finally:
+            server.voices = saved
+
+    def test_pow2_sizes(self):
+        from chatterbox_tpu.serve.batching import pow2_sizes
+        assert pow2_sizes(1) == [1]
+        assert pow2_sizes(6) == [1, 2, 4, 8]   # non-pow2 pads up past itself
+        assert pow2_sizes(8) == [1, 2, 4, 8]
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(

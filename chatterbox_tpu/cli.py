@@ -119,6 +119,51 @@ def _cmd_info(_args):
     }, indent=2))
 
 
+def _parse_voice_specs(specs):
+    """--voice specs → [(name, path)]. 'name=path' registers a named voice;
+    a bare path (even one containing '=' — existing files win) → 'default'."""
+    import os
+    out, seen = [], set()
+    for spec in specs:
+        if "=" in spec and not os.path.exists(spec):
+            name, _, path = spec.partition("=")
+        else:
+            name, path = "default", spec
+        if name in seen:
+            raise SystemExit(f"duplicate voice name {name!r} "
+                             f"(use name=path to register extra voices)")
+        seen.add(name)
+        out.append((name, path))
+    return out
+
+
+def _cmd_mcp(args):
+    import numpy as np
+    from chatterbox_tpu import ChatterboxTurboTTS
+    from chatterbox_tpu.api.pipelines import Conditionals
+    from chatterbox_tpu.serve.mcp import MCPTTSServer
+
+    nano = args.model == "nano"
+    if args.ckpt_dir:
+        model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
+    else:
+        model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
+    conds = {}
+    for name, path in _parse_voice_specs(args.voice):
+        model.prepare_conditionals(path)
+        conds[name] = Conditionals(model.conds.t3, model.conds.gen)
+
+    def synth_fn(text, voice, seed, **kw):
+        if seed is not None:
+            model.set_seed(int(seed))
+        model.conds = conds[voice]
+        return np.asarray(model.generate(text, **kw))[0]
+
+    print(f"MCP TTS server ({args.model}) on stdio — voices: "
+          f"{sorted(conds)}", file=sys.stderr)
+    MCPTTSServer(synth_fn, conds, sr=model.sr).serve_stdio()
+
+
 def _cmd_watermark(args):
     from chatterbox_tpu.utils.audio_io import load_audio
     from chatterbox_tpu.utils.watermark import (SpreadSpectrumWatermarker,
@@ -143,18 +188,8 @@ def _cmd_serve(args):
         model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
     else:
         model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
-    import os
     voices = {}
-    for spec in args.voice:
-        # 'name=path' registers a named voice — but a bare path may itself
-        # contain '=', so only split when the spec isn't an existing file
-        if "=" in spec and not os.path.exists(spec):
-            name, _, path = spec.partition("=")
-        else:
-            name, path = "default", spec
-        if name in voices:
-            raise SystemExit(f"duplicate voice name {name!r} "
-                             f"(use name=path to register extra voices)")
+    for name, path in _parse_voice_specs(args.voice):
         model.prepare_conditionals(path)
         voices[name] = Voice(model.conds.t3, model.conds.gen)
     decoder = BatchDecoder(model.t3_params, model.hp, max_batch=args.max_batch)
@@ -220,6 +255,15 @@ def main(argv=None):
                     help="pre-compile the full serving program grid before "
                          "accepting traffic (one-time with the persistent "
                          "compile cache)")
+    pm = sub.add_parser("mcp", help="MCP (Model Context Protocol) TTS "
+                                    "server over stdio — the reference "
+                                    "exposes the same via gradio's "
+                                    "mcp_server flag")
+    pm.add_argument("--voice", required=True, action="append",
+                    help=">5 s reference wav; repeatable, 'name=path' "
+                         "registers a named voice (bare path → 'default')")
+    pm.add_argument("--model", choices=["turbo", "nano"], default="turbo")
+    pm.add_argument("--ckpt-dir", default=None)
     args = ap.parse_args(argv)
     if args.cmd == "synth":
         _cmd_synth(args)
@@ -231,6 +275,8 @@ def main(argv=None):
         _cmd_watermark(args)
     elif args.cmd == "serve":
         _cmd_serve(args)
+    elif args.cmd == "mcp":
+        _cmd_mcp(args)
 
 
 if __name__ == "__main__":

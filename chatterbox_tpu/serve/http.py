@@ -13,6 +13,10 @@ stdlib ThreadingHTTPServer — no extra dependencies:
                  audio latency; requires a stream_fn, see TTSHTTPServer)
   POST /voices  {"name": "...", "wav_b64": "<WAV>"}  → register a voice from
                  reference audio at runtime (requires a prepare_fn)
+  POST /v1/audio/speech {"input": "...", "voice": "<id>",
+                 "response_format": "wav"|"pcm", "seed": 3}
+                 → OpenAI-compatible speech endpoint (drop-in for clients
+                 speaking that API; "model" is accepted and ignored)
   GET  /voices                                       → {"voices": [...]}
   GET  /healthz                                      → {"ok": true, ...}
   GET  /metrics                                      → Prometheus text
@@ -259,11 +263,26 @@ class TTSHTTPServer:
             def do_POST(self):
                 if self.path == "/voices":
                     return self._register_voice()
-                if self.path != "/tts":
+                openai_compat = self.path == "/v1/audio/speech"
+                if self.path != "/tts" and not openai_compat:
                     return self._json(404, {"error": "not found"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    raw_pcm = False
+                    if openai_compat:
+                        # OpenAI field names: input/voice/response_format
+                        # ("model" accepted and ignored; wav|pcm supported —
+                        # no compressed-codec encoder in this stack)
+                        req["text"] = req.pop("input")
+                        fmt = req.get("response_format", "wav")
+                        if fmt not in ("wav", "pcm"):
+                            return self._json(400, {
+                                "error": f"unsupported response_format "
+                                         f"{fmt!r} (wav or pcm)"})
+                        raw_pcm = fmt == "pcm"
+                        if req.get("voice") not in server_self.voices:
+                            req["voice"] = "default"   # ignore alloy/echo/...
                     text = req["text"]
                     voice = req.get("voice", "default")
                     if voice not in server_self.voices:
@@ -292,9 +311,12 @@ class TTSHTTPServer:
                 except Exception as e:
                     server_self.metrics.count("errors_total")
                     return self._json(500, {"error": repr(e)})
-                body = wav_bytes(wav, server_self.sr)
+                if raw_pcm:
+                    body, ctype = pcm16_bytes(wav), "audio/pcm"
+                else:
+                    body, ctype = wav_bytes(wav, server_self.sr), "audio/wav"
                 self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -291,6 +291,37 @@ class TestHTTP:
         assert pow2_sizes(6) == [1, 2, 4, 8]   # non-pow2 pads up past itself
         assert pow2_sizes(8) == [1, 2, 4, 8]
 
+    def test_openai_compat_speech_endpoint(self, server):
+        """POST /v1/audio/speech speaks the OpenAI field names; unknown
+        OpenAI voices fall back to 'default'; pcm returns headerless
+        samples."""
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://{server.host}:{server.port}/v1/audio/speech",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            return urllib.request.urlopen(req, timeout=240)
+
+        with post({"model": "tts-1", "input": "hello there",
+                   "voice": "alloy", "seed": 11}) as r:
+            wav_body = r.read()
+            assert r.headers["Content-Type"] == "audio/wav"
+        sr, pcm = _parse_wav(wav_body)
+        assert sr == 24000 and len(pcm) > 0
+
+        with post({"input": "hello there", "voice": "alloy", "seed": 11,
+                   "response_format": "pcm"}) as r:
+            raw = r.read()
+            assert r.headers["Content-Type"] == "audio/pcm"
+        np.testing.assert_array_equal(np.frombuffer(raw, np.int16), pcm)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"input": "x", "response_format": "mp3"})
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"voice": "default"})           # missing "input"
+        assert ei.value.code == 400
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(

@@ -195,14 +195,18 @@ def _cmd_serve(args):
     decoder = BatchDecoder(model.t3_params, model.hp, max_batch=args.max_batch)
     def _stream_fn(text, voice, seed, **kw):
         # streaming rides the single-stream pipeline (chunked decode +
-        # streaming vocoder); only its sampler knobs apply
+        # streaming vocoder); only its sampler knobs apply. Long texts are
+        # split at sentence boundaries (long-form narration) and each piece
+        # streams at TTFA latency.
         from chatterbox_tpu.api.pipelines import Conditionals
+        from chatterbox_tpu.serve.streaming import chunk_text
         kw = {k: v for k, v in kw.items()
               if k in ("temperature", "top_p", "repetition_penalty")}
         if seed is not None:
             model.set_seed(int(seed))
         model.conds = Conditionals(voice.cond, voice.ref)
-        yield from model.generate_stream(text, **kw)
+        for piece in chunk_text(text, max_chars=300):
+            yield from model.generate_stream(piece, **kw)
 
     def _prepare_fn(path):
         model.prepare_conditionals(path)

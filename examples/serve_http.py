@@ -52,12 +52,14 @@ def main():
     model.prepare_conditionals(args.voice)
 
     def stream_fn(text, voice, seed, **kw):
+        from chatterbox_tpu.serve.streaming import chunk_text
         kw = {k: v for k, v in kw.items()
               if k in ("temperature", "top_p", "repetition_penalty")}
         if seed is not None:
             model.set_seed(int(seed))
         model.conds = Conditionals(voice.cond, voice.ref)
-        yield from model.generate_stream(text, **kw)
+        for piece in chunk_text(text, max_chars=300):   # long-form narration
+            yield from model.generate_stream(piece, **kw)
 
     def prepare_fn(path):
         model.prepare_conditionals(path)

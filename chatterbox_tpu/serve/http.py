@@ -11,6 +11,8 @@ stdlib ThreadingHTTPServer — no extra dependencies:
   POST /tts     {..., "stream": true}                → chunked audio/wav —
                  audio bytes flow as chunks are synthesized (time-to-first-
                  audio latency; requires a stream_fn, see TTSHTTPServer)
+  POST /tts     {..., "wav_b64": "<WAV>"}            → per-request reference
+                 audio (ephemeral voice, not registered; needs prepare_fn)
   POST /voices  {"name": "...", "wav_b64": "<WAV>"}  → register a voice from
                  reference audio at runtime (requires a prepare_fn)
   POST /v1/audio/speech {"input": "...", "voice": "<id>",
@@ -193,10 +195,28 @@ class TTSHTTPServer:
             # caller timed out between the get() above and the store — undo
             self._results.pop(result.request_id, None)
 
+    def _ephemeral_voice(self, wav_b64: str):
+        """Build a one-request Voice from base64 WAV bytes (the reference's
+        demo apps accept per-request reference audio; requires prepare_fn)."""
+        if self.prepare_fn is None:
+            raise ValueError("per-request reference audio needs a prepare_fn")
+        import base64
+        import os
+        import tempfile
+        fd, path = tempfile.mkstemp(suffix=".wav")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(base64.b64decode(wav_b64))
+            with self._stream_lock:              # device serialization
+                return self.prepare_fn(path)
+        finally:
+            os.unlink(path)
+
     def synthesize(self, text: str, voice_id: str, seed: Optional[int] = None,
-                   **sampler_kw) -> np.ndarray:
-        """Blocking single synthesis through the batched loop."""
-        voice = self.voices[voice_id]
+                   voice_obj=None, **sampler_kw) -> np.ndarray:
+        """Blocking single synthesis through the batched loop. voice_obj
+        (a Voice) overrides the registry lookup — per-request voices."""
+        voice = voice_obj if voice_obj is not None else self.voices[voice_id]
         ids = np.asarray(self.tokenizer.text_to_tokens(text)).reshape(-1)
         if self.frame_text is not None:
             ids = np.asarray(self.frame_text(ids)).reshape(-1)
@@ -285,7 +305,13 @@ class TTSHTTPServer:
                             req["voice"] = "default"   # ignore alloy/echo/...
                     text = req["text"]
                     voice = req.get("voice", "default")
-                    if voice not in server_self.voices:
+                    voice_obj = None
+                    if req.get("wav_b64"):
+                        # per-request reference audio (the gradio apps'
+                        # per-request voice prompt, as a serving feature)
+                        voice_obj = server_self._ephemeral_voice(
+                            req["wav_b64"])
+                    elif voice not in server_self.voices:
                         return self._json(400, {"error": f"unknown voice "
                                                 f"{voice!r}"})
                     kw = {k: float(req[k]) for k in
@@ -296,11 +322,13 @@ class TTSHTTPServer:
                             return self._json(400, {
                                 "error": "streaming not enabled "
                                          "(server has no stream_fn)"})
-                        return self._stream(text, voice, req.get("seed"), kw)
+                        return self._stream(text, voice, req.get("seed"),
+                                            kw, voice_obj=voice_obj)
                     server_self.metrics.count("requests_total")
                     t0 = time.perf_counter()
                     wav = server_self.synthesize(
-                        text, voice, seed=req.get("seed"), **kw)
+                        text, voice, seed=req.get("seed"),
+                        voice_obj=voice_obj, **kw)
                     server_self.metrics.add_stage(
                         "http_tts", time.perf_counter() - t0)
                 except TimeoutError as e:
@@ -355,7 +383,7 @@ class TTSHTTPServer:
                 server_self.metrics.count("voices_registered_total")
                 self._json(201, {"ok": True, "voice": name})
 
-            def _stream(self, text, voice, seed, kw):
+            def _stream(self, text, voice, seed, kw, voice_obj=None):
                 """Chunked audio/wav: WAV header first, then each synthesized
                 chunk as PCM16 the moment it exists. A mid-stream failure can
                 only truncate the stream (the 200 is already sent) — it is
@@ -375,8 +403,10 @@ class TTSHTTPServer:
                 first = True
                 try:
                     with server_self._stream_lock:
+                        v = (voice_obj if voice_obj is not None
+                             else server_self.voices[voice])
                         for chunk in server_self.stream_fn(
-                                text, server_self.voices[voice], seed, **kw):
+                                text, v, seed, **kw):
                             if first:
                                 server_self.metrics.add_stage(
                                     "http_stream_ttfa",

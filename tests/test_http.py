@@ -243,6 +243,26 @@ class TestHTTP:
         assert sr == 24000 and len(pcm) > 0
         server.voices.pop("newv")
 
+    def test_per_request_reference_audio(self, server):
+        """POST /tts with wav_b64 synthesizes with an ephemeral voice built
+        from the supplied reference audio (not registered)."""
+        import base64
+        server.prepare_fn = lambda path: server.voices["default"]
+        try:
+            with _post(server, {"text": "ephemeral", "seed": 3,
+                                "wav_b64": base64.b64encode(
+                                    b"RIFFfake").decode()}) as r:
+                sr, pcm = _parse_wav(r.read())
+        finally:
+            server.prepare_fn = None
+        assert sr == 24000 and len(pcm) > 0
+        assert "ephemeral" not in server.voices and \
+            len(server.voices) == 1                 # nothing registered
+        # without prepare_fn it is a clean 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, {"text": "x", "wav_b64": "aGk="})
+        assert ei.value.code == 400
+
     def test_register_voice_disabled_400(self, server):
         req = urllib.request.Request(
             f"http://{server.host}:{server.port}/voices",

@@ -212,10 +212,16 @@ def _cmd_serve(args):
         model.prepare_conditionals(path)
         return Voice(model.conds.t3, model.conds.gen)
 
+    slots = None
+    if args.continuous:
+        from chatterbox_tpu.sampling.continuous import ContinuousTTSServer
+        slots = ContinuousTTSServer(
+            model.t3_params, model.hp, n_slots=args.max_batch,
+            text_bucket=args.text_bucket, s3gen=model.s3gen)
     server = TTSHTTPServer(
         decoder, model.s3gen, model.tokenizer, voices,
         sr=model.sr, host=args.host, port=args.port, stream_fn=_stream_fn,
-        prepare_fn=_prepare_fn)
+        prepare_fn=_prepare_fn, continuous=slots)
     if args.warmup:
         print("warming the serving program grid ...")
         server.warmup()
@@ -254,6 +260,14 @@ def main(argv=None):
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8321)
     ps.add_argument("--max-batch", type=int, default=8)
+    ps.add_argument("--continuous", action="store_true",
+                    help="token-level continuous batching: requests join "
+                         "the decode at chunk boundaries and finish "
+                         "independently (no whole-batch drain); max-batch "
+                         "becomes the slot count")
+    ps.add_argument("--text-bucket", type=int, default=128,
+                    help="continuous mode's fixed text-token capacity "
+                         "(longer requests are truncated)")
     ps.add_argument("--ckpt-dir", default=None)
     ps.add_argument("--warmup", action="store_true",
                     help="pre-compile the full serving program grid before "

@@ -266,6 +266,8 @@ class ContinuousTTSServer:
         self.results: dict = {}             # request_id -> np token array
         self.wavs: dict = {}                # request_id -> waveform (if vocoding)
         self._voc_pending = None            # (request_ids, dispatch handle)
+        self._await_wav: set = set()        # rids harvested but wav in flight
+        self._lagged = None                 # serve_round's deferred status
 
     # ------------------------------------------------------------------
     def submit(self, req) -> None:
@@ -351,6 +353,7 @@ class ContinuousTTSServer:
             handle = self.s3gen.inference_batch_dispatch(
                 voc_rows, voc_refs, jnp.stack(voc_keys))
             self._voc_pending = (voc_rids, handle)
+            self._await_wav.update(voc_rids)
         return out
 
     def _dispatch_round(self) -> bool:
@@ -387,25 +390,55 @@ class ContinuousTTSServer:
             return []
         return self._harvest()
 
-    def run_until_idle(self, max_rounds: int = 10_000) -> dict:
-        """Overlapped serving loop: each round's status fetch (one relay
-        round-trip) is deferred until the NEXT chunk has been dispatched, so
-        the round-trip rides the device compute instead of serializing with
-        it. Done rows' step/tokens are frozen, so harvesting from a one-round-
+    def serve_round(self) -> bool:
+        """One overlapped scheduling round for an external driver (the
+        threaded ContinuousServingLoop): dispatch a decode chunk (admitting
+        pending requests first), then harvest the PREVIOUS round from its
+        lagged status snapshot — the status fetch (one relay round-trip)
+        rides this round's device compute instead of serializing with it.
+        Done rows' step/tokens are frozen, so harvesting from a one-round-
         stale snapshot yields identical results; the only cost is that a
-        finished slot is re-admitted one round later."""
-        lagged = None
+        finished slot is re-admitted one round later.
+
+        Returns True while work is in flight; on False the server is idle
+        and every result (and wav, when vocoding in-loop) is materialized."""
+        status = pack_status(self.state) if self._dispatch_round() else None
+        if self._lagged is not None:
+            self._harvest(np.asarray(self._lagged))
+        self._lagged = status
+        idle = (status is None and not self._pending
+                and all(r is None for r in self._slot_req))
+        if idle:
+            self.flush_vocode()
+        return not idle
+
+    def run_until_idle(self, max_rounds: int = 10_000) -> dict:
+        """Drive serve_round until every submitted request has completed."""
         for _ in range(max_rounds):
-            status = pack_status(self.state) if self._dispatch_round() else None
-            if lagged is not None:
-                self._harvest(np.asarray(lagged))
-            lagged = status
-            if status is None and not self._pending and \
-                    all(r is None for r in self._slot_req):
+            if not self.serve_round():
                 break
+        self.flush_vocode()     # no-op unless max_rounds cut the loop short
+        return self.results
+
+    def flush_vocode(self) -> None:
+        """Fetch any deferred vocode batch (serve_round does this itself on
+        the round the server goes idle)."""
         if self.s3gen is not None:
             self._flush_vocode()
-        return self.results
+
+    def pop_ready(self) -> list:
+        """Pop finished requests whose outputs are fully materialized, as
+        (request_id, tokens, wav_or_None) triples. Requests vocoded in-loop
+        become ready one round after their tokens (the deferred wav fetch);
+        token-only requests are ready at harvest."""
+        out = []
+        for rid in list(self.results):
+            if rid in self._await_wav and rid not in self.wavs:
+                continue
+            out.append((rid, self.results.pop(rid),
+                        self.wavs.pop(rid, None)))
+            self._await_wav.discard(rid)
+        return out
 
     # ------------------------------------------------------------------
     def warmup(self, cond, ref=None, *, max_gen: Optional[int] = None,
@@ -478,3 +511,5 @@ class ContinuousTTSServer:
         self.results.clear()
         self.wavs.clear()
         self._voc_pending = None
+        self._await_wav.clear()
+        self._lagged = None

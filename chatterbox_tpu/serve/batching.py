@@ -309,3 +309,71 @@ class ServingLoop:
                 pending = (results, None)
         if pending is not None:
             self._finalize(pending)
+
+
+class ContinuousServingLoop:
+    """Token-level continuous serving behind the same surface as ServingLoop
+    (submit / start / stop / on_result): requests join the slot machine at
+    the next CHUNK boundary — not the next batch boundary — and each result
+    fires the moment its row finishes, while its former batchmates keep
+    decoding. Under mixed-length traffic a short request is never queued
+    behind a long one's tail.
+
+    Turbo/Nano (no-CFG) family only: the slot machine has one physical row
+    per request (sampling/continuous.py); serve the 520M/MTL CFG family with
+    ServingLoop over a cfg=True BatchDecoder."""
+
+    def __init__(self, server, on_result: Callable[[TTSResult], None],
+                 idle_wait_s: float = 0.05):
+        self.server = server      # sampling.continuous.ContinuousTTSServer
+        self.on_result = on_result
+        self.s3gen = server.s3gen
+        self.idle_wait_s = idle_wait_s
+        self._q: "queue.Queue[TTSRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def submit(self, req: TTSRequest):
+        self._q.put(req)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def _drain(self, block: bool) -> None:
+        """Move queued requests into the slot machine's pending list. Blocks
+        briefly only when the device is idle — a busy loop polls for free."""
+        try:
+            self.server.submit(
+                self._q.get(timeout=self.idle_wait_s) if block
+                else self._q.get_nowait())
+        except queue.Empty:
+            return
+        while True:
+            try:
+                self.server.submit(self._q.get_nowait())
+            except queue.Empty:
+                return
+
+    def _fire_ready(self) -> None:
+        for rid, tokens, wav in self.server.pop_ready():
+            self.on_result(TTSResult(request_id=rid, speech_tokens=tokens,
+                                     wav=wav))
+
+    def _run(self):
+        busy = False
+        while not self._stop.is_set():
+            self._drain(block=not busy)
+            busy = self.server.serve_round()
+            self._fire_ready()
+        # graceful shutdown: finish what's already in the slots/queue so
+        # callers blocked on events aren't abandoned mid-synthesis
+        self._drain(block=False)
+        while self.server.serve_round():
+            self._fire_ready()
+        self._fire_ready()

@@ -28,6 +28,15 @@ stdlib ThreadingHTTPServer — no extra dependencies:
 Concurrent requests are grouped into device batches by the loop (one batched
 decode + one batched fused S3Gen per group), so N simultaneous callers cost
 ~one batch, not N sequential syntheses.
+
+Two batching backends share this front:
+  * whole-batch (default): a ServingLoop over a BatchDecoder — requests
+    join at batch boundaries; supports the CFG family (cfg=True decoder).
+  * token-level continuous (`continuous=` a ContinuousTTSServer): requests
+    join the slot machine at the next CHUNK boundary and finish
+    independently — a short request is never queued behind a long one's
+    tail. Turbo/Nano family; text length is capped at the slot server's
+    fixed text_bucket (size it for the longest expected request).
 """
 from __future__ import annotations
 
@@ -43,7 +52,8 @@ import numpy as np
 
 from ..ops.sampling import SamplerParams
 from ..utils.profiling import Metrics
-from .batching import BatchDecoder, ServingLoop, TTSRequest
+from .batching import (BatchDecoder, ContinuousServingLoop, ServingLoop,
+                       TTSRequest)
 
 
 def pcm16_bytes(wav: np.ndarray) -> bytes:
@@ -111,10 +121,10 @@ class TTSHTTPServer:
     `frame_text` (optional) maps raw ids -> framed ids for the CFG family.
     """
 
-    def __init__(self, decoder: BatchDecoder, s3gen, tokenizer,
+    def __init__(self, decoder: Optional[BatchDecoder], s3gen, tokenizer,
                  voices: dict, sr: int = 24000, host: str = "127.0.0.1",
                  port: int = 8321, frame_text=None, timeout_s: float = 300.0,
-                 stream_fn=None, prepare_fn=None):
+                 stream_fn=None, prepare_fn=None, continuous=None):
         """stream_fn (optional): enables `"stream": true` requests —
         a callable (text, voice, seed, **sampler_kw) yielding float32 wav
         chunks as they are synthesized (e.g. a pipeline's generate_stream).
@@ -128,7 +138,13 @@ class TTSHTTPServer:
         conditioning bundle (e.g. a pipeline's prepare_conditionals). The
         reference's demo apps accept per-request reference audio (ref:
         gradio_tts_app.py); this is the serving equivalent: register once,
-        then synthesize against the named voice."""
+        then synthesize against the named voice.
+
+        continuous (optional): a sampling.continuous.ContinuousTTSServer —
+        the HTTP front then runs on token-level continuous batching
+        (requests join at chunk boundaries, finish independently) instead of
+        the whole-batch ServingLoop. Turbo/Nano family only; `decoder` may
+        be None and `s3gen` is taken from the slot server."""
         self.sr = sr
         self.tokenizer = tokenizer
         self.voices = voices
@@ -142,7 +158,10 @@ class TTSHTTPServer:
         self._results: dict[int, object] = {}
         self._next_id = 0
         self._id_lock = threading.Lock()
-        self.loop = ServingLoop(decoder, self._on_result, s3gen=s3gen)
+        if continuous is not None:
+            self.loop = ContinuousServingLoop(continuous, self._on_result)
+        else:
+            self.loop = ServingLoop(decoder, self._on_result, s3gen=s3gen)
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self._httpd.server_address[:2]
 
@@ -155,15 +174,23 @@ class TTSHTTPServer:
         (S3GenEngine.warmup_grid). Call before start(); with the persistent
         compile cache the cost is one-time per image."""
         from .batching import pow2_sizes
-        decoder = self.loop.decoder
-        max_gen = max_gen or decoder.max_new_tokens
-        batch_sizes = pow2_sizes(decoder.max_batch)
         if not self.voices:
             raise ValueError("warmup() needs at least one registered voice "
                              "(its conditioning supplies the real shapes)")
         first = next(iter(self.voices.values()))
-        decoder.warmup(first.cond, max_text_len=max_text_len,
-                       batch_sizes=batch_sizes)
+        if isinstance(self.loop, ContinuousServingLoop):
+            slots = self.loop.server
+            max_gen = max_gen or slots.max_new_tokens
+            # decode grid: the slot machine's own growth-schedule walk
+            # (vocode grid warmed per distinct voice shape below)
+            slots.warmup(first.cond, None, max_gen=max_gen)
+            batch_sizes = pow2_sizes(slots.n_slots)
+        else:
+            decoder = self.loop.decoder
+            max_gen = max_gen or decoder.max_new_tokens
+            batch_sizes = pow2_sizes(decoder.max_batch)
+            decoder.warmup(first.cond, max_text_len=max_text_len,
+                           batch_sizes=batch_sizes)
         if self.loop.s3gen is not None:
             seen = set()
             for voice in self.voices.values():

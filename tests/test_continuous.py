@@ -125,6 +125,139 @@ class TestContinuousBatching:
             assert (t < 6561).all()
 
 
+class TestContinuousServingLoop:
+    """The threaded loop over the slot machine (serve/batching.py) — same
+    callback surface as ServingLoop, token-level admission underneath."""
+
+    def test_loop_results_match_direct_run(self, setup):
+        import threading
+        from chatterbox_tpu.serve.batching import ContinuousServingLoop
+        hp, params, cond = setup
+        reqs = [_req(cond, rid=i, seed=600 + i, n_text=4 + i, max_new=8)
+                for i in range(4)]
+
+        direct = _server(hp, params)
+        for r in reqs:
+            direct.submit(r)
+        expect = direct.run_until_idle()
+
+        got, ev = {}, threading.Event()
+
+        def on_result(res):
+            assert res.wav is None          # token-only (no s3gen/ref)
+            got[res.request_id] = res.speech_tokens
+            if len(got) == len(reqs):
+                ev.set()
+
+        loop = ContinuousServingLoop(_server(hp, params), on_result)
+        loop.start()
+        for r in reqs:
+            loop.submit(r)
+        assert ev.wait(180), f"only {sorted(got)} completed"
+        loop.stop()
+        for r in reqs:
+            np.testing.assert_array_equal(got[r.request_id],
+                                          expect[r.request_id])
+
+    def test_loop_vocodes_and_fires_wavs(self, setup):
+        import threading
+        from chatterbox_tpu.serve.batching import ContinuousServingLoop
+        from chatterbox_tpu.models.s3gen.model import (S3GenEngine, s3gen_init,
+                                                       S3GEN_SR)
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        hp, params, cond = setup
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(2), meanflow=True,
+                                     tok_cfg=tok_cfg, dims=dims,
+                                     hift_base=32),
+                          meanflow=True, tok_cfg=tok_cfg, dims=dims,
+                          n_timesteps=2)
+        rng = np.random.default_rng(21)
+        ref = eng.embed_ref(
+            (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+            S3GEN_SR)
+
+        def reqs():
+            out = []
+            for i in range(2):
+                r = _req(cond, rid=i, seed=800 + i, max_new=6)
+                r.ref = ref
+                out.append(r)
+            return out
+
+        direct = _server(hp, params, s3gen=eng)
+        for r in reqs():
+            direct.submit(r)
+        direct.run_until_idle()
+
+        got, ev = {}, threading.Event()
+
+        def on_result(res):
+            got[res.request_id] = res
+            if len(got) == 2:
+                ev.set()
+
+        loop = ContinuousServingLoop(_server(hp, params, s3gen=eng),
+                                     on_result)
+        loop.start()
+        for r in reqs():
+            loop.submit(r)
+        assert ev.wait(180)
+        loop.stop()
+        for rid in (0, 1):
+            np.testing.assert_array_equal(got[rid].speech_tokens,
+                                          direct.results[rid])
+            np.testing.assert_array_equal(got[rid].wav, direct.wavs[rid])
+
+    def test_stop_finishes_in_flight_requests(self, setup):
+        import threading
+        from chatterbox_tpu.serve.batching import ContinuousServingLoop
+        hp, params, cond = setup
+        got, ev = {}, threading.Event()
+
+        def on_result(res):
+            got[res.request_id] = res.speech_tokens
+            ev.set()
+
+        loop = ContinuousServingLoop(_server(hp, params), on_result)
+        loop.submit(_req(cond, rid=7, seed=900, max_new=8))
+        loop.start()
+        loop.stop()               # graceful: drains and finishes first
+        assert 7 in got and len(got[7]) >= 0
+
+    def test_pop_ready_defers_until_wav_arrives(self, setup):
+        """pop_ready must not release a vocoded request before its deferred
+        wav fetch lands (tokens harvest one round earlier)."""
+        hp, params, cond = setup
+
+        class _StubEng:
+            """Batched-vocode stub: dispatch returns rows, fetch echoes."""
+            def inference_batch_dispatch(self, rows, refs, keys):
+                return rows
+            def inference_batch_fetch(self, handle):
+                return [np.zeros(3, np.float32) for _ in handle]
+
+        srv = _server(hp, params, s3gen=_StubEng())
+        r = _req(cond, rid=1, seed=950, max_new=4)
+        r.ref = object()
+        srv.submit(r)
+        saw_deferred = False
+        for _ in range(100):
+            busy = srv.serve_round()
+            if 1 in srv.results and 1 not in srv.wavs:
+                assert srv.pop_ready() == []      # tokens in, wav in flight
+                saw_deferred = True
+            if not busy:
+                break
+        assert saw_deferred
+        ready = srv.pop_ready()
+        assert [rid for rid, _, _ in ready] == [1]
+        assert ready[0][2] is not None
+        assert not srv.results and not srv.wavs and not srv._await_wav
+
+
 class TestBucketedSlotCache:
     def test_cache_grows_and_results_unchanged(self, setup):
         """The slot cache starts small and grows as rows advance; results

@@ -347,3 +347,91 @@ class TestHTTP:
             urllib.request.urlopen(
                 f"http://{server.host}:{server.port}/other", timeout=30)
         assert ei.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def cont_server():
+    """The same HTTP front running on token-level continuous batching
+    (continuous= a ContinuousTTSServer slot machine) instead of the
+    whole-batch ServingLoop."""
+    from chatterbox_tpu.api.pipelines import T3CondHost
+    from chatterbox_tpu.sampling.continuous import ContinuousTTSServer
+    hp = T3Config.tiny_test("gpt2")
+    t3p = t3m.t3_init(jax.random.key(0), hp)
+    eng = S3GenEngine(s3gen_init(jax.random.key(1), meanflow=True,
+                                 tok_cfg=S3TokenizerConfig.tiny_test(),
+                                 dims=FlowDims.tiny_test(), hift_base=32),
+                      meanflow=True, tok_cfg=S3TokenizerConfig.tiny_test(),
+                      dims=FlowDims.tiny_test())
+    rng = np.random.default_rng(0)
+    P = 8
+    ref = RefDict(
+        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
+        prompt_token_len=np.asarray([P], np.int32),
+        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
+        embedding=rng.standard_normal((1, 192)).astype(np.float32))
+    cond = T3CondHost(np.zeros((1, 256), np.float32),
+                      np.zeros((1, hp.speech_cond_prompt_len), np.int32))
+    slots = ContinuousTTSServer(t3p, hp, n_slots=3, text_bucket=16,
+                                max_new_tokens=8, chunk=4, top_k=40,
+                                s3gen=eng)
+    srv = TTSHTTPServer(None, eng, _Tok(), {"default": Voice(cond, ref)},
+                        sr=24000, port=0, timeout_s=240.0, continuous=slots)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post_to(server, payload, timeout=240):
+    return _post(server, payload, timeout)
+
+
+class TestContinuousHTTP:
+    """POST /tts served by the slot machine: requests join mid-decode and
+    the HTTP surface behaves identically to the whole-batch backend."""
+
+    def test_tts_roundtrip(self, cont_server):
+        with _post_to(cont_server, {"text": "hello continuous",
+                                    "voice": "default", "seed": 1,
+                                    "temperature": 0.7}) as resp:
+            assert resp.status == 200
+            sr, pcm = _parse_wav(resp.read())
+        assert sr == 24000
+        assert len(pcm) > 0 and np.isfinite(pcm).all()
+
+    def test_concurrent_mixed_requests_complete(self, cont_server):
+        out = {}
+
+        def call(i):
+            with _post_to(cont_server,
+                          {"text": "x" * (3 + 4 * i), "seed": i}) as resp:
+                out[i] = _parse_wav(resp.read())[1]
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]           # 4 callers > 3 slots
+        [t.start() for t in threads]
+        [t.join(timeout=240) for t in threads]
+        assert sorted(out) == [0, 1, 2, 3]
+        assert all(len(v) > 0 for v in out.values())
+
+    def test_same_seed_is_deterministic(self, cont_server):
+        with _post_to(cont_server, {"text": "determinism",
+                                    "seed": 42}) as r1:
+            w1 = _parse_wav(r1.read())[1]
+        with _post_to(cont_server, {"text": "determinism",
+                                    "seed": 42}) as r2:
+            w2 = _parse_wav(r2.read())[1]
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_warmup_then_serve(self, cont_server):
+        cont_server.warmup(max_gen=8)
+        with _post_to(cont_server, {"text": "after warmup",
+                                    "seed": 77}) as r:
+            sr, pcm = _parse_wav(r.read())
+        assert sr == 24000 and len(pcm) > 0
+
+    def test_health_reports_queue(self, cont_server):
+        with urllib.request.urlopen(
+                f"http://{cont_server.host}:{cont_server.port}/healthz",
+                timeout=30) as r:
+            assert json.load(r)["ok"] is True

@@ -152,16 +152,20 @@ class T3Config:
     @classmethod
     def tiny_test(cls, family: str = "gpt2") -> "T3Config":
         """A CPU-fast config for tests (not in the reference zoo)."""
+        # dict_size must cover the REAL special-token ids (6561/6562, which
+        # the serving/vocoder filters hardcode as the S3 vocab boundary) —
+        # a smaller table made every BOS embed an out-of-bounds jnp.take,
+        # i.e. NaN, silently degenerating all tiny-model token streams
         if family == "gpt2":
             return cls(
                 text_tokens_dict_size=64, backbone_name="GPT2_tiny_test",
-                speech_tokens_dict_size=80, input_pos_emb=None,
+                speech_tokens_dict_size=6564, input_pos_emb=None,
                 speech_cond_prompt_len=8, use_perceiver_resampler=False,
                 emotion_adv=False, max_text_tokens=64, max_speech_tokens=128,
             )
         return cls(
             text_tokens_dict_size=64, backbone_name="Llama_tiny_test",
-            speech_tokens_dict_size=80, input_pos_emb="learned",
+            speech_tokens_dict_size=6564, input_pos_emb="learned",
             speech_cond_prompt_len=8, use_perceiver_resampler=True,
             emotion_adv=True, max_text_tokens=64, max_speech_tokens=128,
         )

@@ -75,6 +75,13 @@ def perceiver_apply(p, h: jnp.ndarray) -> jnp.ndarray:
 def t3_init(key, hp: T3Config) -> dict:
     cfg = hp.backbone
     D = cfg.hidden_size
+    # jnp.take's out-of-bounds mode fills NaN: a start/stop token outside
+    # the embedding table silently NaN-poisons every prefill (found when a
+    # tiny-test config shrank the dict below the special-token ids)
+    assert max(hp.start_speech_token, hp.stop_speech_token) < \
+        hp.speech_tokens_dict_size, (
+        f"speech specials ({hp.start_speech_token}/{hp.stop_speech_token}) "
+        f"outside the embedding table (dict {hp.speech_tokens_dict_size})")
     keys = jax.random.split(key, 12)
     params = {
         "backbone": bb.init_backbone(keys[0], cfg),

@@ -148,7 +148,7 @@ class TestBackboneIntegration:
         from chatterbox_tpu.models.t3 import model as t3m
         hp = T3Config(
             text_tokens_dict_size=64, backbone_name="GPT2_fused_test",
-            speech_tokens_dict_size=80, input_pos_emb=None,
+            speech_tokens_dict_size=6564, input_pos_emb=None,
             speech_cond_prompt_len=8, use_perceiver_resampler=False,
             emotion_adv=False, max_text_tokens=64, max_speech_tokens=128)
         params = t3m.t3_init(jax.random.key(0), hp)
@@ -314,7 +314,7 @@ class TestInt8Fused:
                                                    best_serving_mode)
         hp = T3Config(
             text_tokens_dict_size=64, backbone_name="Llama_fused_test",
-            speech_tokens_dict_size=80, input_pos_emb="learned",
+            speech_tokens_dict_size=6564, input_pos_emb="learned",
             speech_cond_prompt_len=8, use_perceiver_resampler=False,
             emotion_adv=True, max_text_tokens=64, max_speech_tokens=128)
         assert fused_llama_supported(hp.backbone)
@@ -351,7 +351,7 @@ class TestInt8Fused:
         from chatterbox_tpu.utils.quantize import quantize_t3_backbone
         hp = T3Config(
             text_tokens_dict_size=64, backbone_name="GPT2_fused_test",
-            speech_tokens_dict_size=80, input_pos_emb=None,
+            speech_tokens_dict_size=6564, input_pos_emb=None,
             speech_cond_prompt_len=8, use_perceiver_resampler=False,
             emotion_adv=False, max_text_tokens=64, max_speech_tokens=128)
         params = t3m.t3_init(jax.random.key(0), hp)

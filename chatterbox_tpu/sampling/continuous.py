@@ -17,9 +17,12 @@ Here the decode state is an explicit on-device pytree over S slots:
   * per-row PRNG keys + per-row SamplerParams make each row's output a pure
     function of its own request (invariant to batchmates — tested).
 
-Turbo/Nano (GPT-2, no CFG) family: the batch dim is requests. The CFG family
-needs 2 physical rows per request; use sampling/batched.py for whole-batch
-CFG serving.
+Turbo/Nano (GPT-2) family: one physical row per request. The 520M/MTL CFG
+family (cfg=True) runs each request as a cond/uncond physical row PAIR —
+logical slot i owns rows i and S+i; the uncond row shares the cond prefix
+with zeroed text embeds (ref: t3.py:113-114) and both rows consume the same
+sampled token each step (cfg-combine → rep→temp→min_p→top_p chain,
+ref: t3.py:338-360).
 """
 from __future__ import annotations
 
@@ -37,8 +40,8 @@ from ..ops import sampling as S
 
 
 class SlotStates(NamedTuple):
-    cache: bb.KVCache          # (L, S, H, T_max, D)
-    logits: jnp.ndarray        # (S, V)
+    cache: bb.KVCache          # (L, Sp, H, T_max, D); Sp = 2S when cfg
+    logits: jnp.ndarray        # (Sp, V)
     seen: jnp.ndarray          # (S, V) bool
     step: jnp.ndarray          # (S,) tokens generated
     done: jnp.ndarray          # (S,) bool — hit EOS / per-row cap
@@ -51,19 +54,25 @@ class SlotStates(NamedTuple):
     temperature: jnp.ndarray
     top_p: jnp.ndarray
     repetition_penalty: jnp.ndarray
+    min_p: jnp.ndarray
+    cfg_weight: jnp.ndarray
 
 
 def init_slots(hp: T3Config, n_slots: int, text_bucket: int,
-               max_new_tokens: int, t_cap: int = None) -> SlotStates:
+               max_new_tokens: int, t_cap: int = None,
+               cfg: bool = False) -> SlotStates:
     """t_cap: optional initial cache capacity (slots are LEFT-aligned at
-    offset 0, so the cache can start small and grow — grow_slot_cache)."""
-    cfg = hp.backbone
+    offset 0, so the cache can start small and grow — grow_slot_cache).
+    cfg=True lays out 2 physical cache/logits rows per logical slot
+    (cond rows [0,S), uncond rows [S,2S))."""
+    bcfg = hp.backbone
     Lc = t3m.cond_len(hp)
     t_max = t_cap or (Lc + text_bucket + 1 + max_new_tokens)
     V = hp.speech_tokens_dict_size
+    Sp = 2 * n_slots if cfg else n_slots
     return SlotStates(
-        cache=bb.KVCache.zeros(cfg, n_slots, t_max, dtype=jnp.bfloat16),
-        logits=jnp.zeros((n_slots, V), jnp.float32),
+        cache=bb.KVCache.zeros(bcfg, Sp, t_max, dtype=jnp.bfloat16),
+        logits=jnp.zeros((Sp, V), jnp.float32),
         seen=jnp.zeros((n_slots, V), jnp.bool_),
         step=jnp.zeros((n_slots,), jnp.int32),
         done=jnp.ones((n_slots,), jnp.bool_),
@@ -75,30 +84,40 @@ def init_slots(hp: T3Config, n_slots: int, text_bucket: int,
         temperature=jnp.ones((n_slots,), jnp.float32),
         top_p=jnp.ones((n_slots,), jnp.float32),
         repetition_penalty=jnp.ones((n_slots,), jnp.float32),
+        min_p=jnp.zeros((n_slots,), jnp.float32),
+        cfg_weight=jnp.zeros((n_slots,), jnp.float32),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("hp",),
+@functools.partial(jax.jit, static_argnames=("hp", "cfg_mode"),
                    donate_argnames=("state",))
 def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
           cond: t3m.T3CondArrays, text_tokens: jnp.ndarray,
           text_len: jnp.ndarray, key, max_new: jnp.ndarray,
           temperature: jnp.ndarray, top_p: jnp.ndarray,
-          repetition_penalty: jnp.ndarray) -> SlotStates:
-    """Prefill one request (batch-1) and install it in `slot`."""
+          repetition_penalty: jnp.ndarray,
+          min_p: jnp.ndarray = None, cfg_weight: jnp.ndarray = None,
+          cfg_mode: bool = False) -> SlotStates:
+    """Prefill one request (batch-1; batch-2 cond+uncond when cfg_mode) and
+    install it in `slot` (cfg: physical rows slot and S+slot)."""
     cfg = hp.backbone
     Lc = t3m.cond_len(hp)
     Ltp = text_tokens.shape[1]
     P_pad = Lc + Ltp + 1
-    t_max = state.cache.k.shape[3]
     V = hp.speech_tokens_dict_size
+    Sn = state.seen.shape[0]
+    B = 2 if cfg_mode else 1
 
     ce = t3m.cond_embeds(params, hp, cond)                    # (1, Lc, D)
     te = jnp.take(params["text_emb"]["w"], text_tokens, axis=0)
     if hp.input_pos_emb == "learned":
         te = te + jnp.take(params["text_pos_emb"]["w"], jnp.arange(Ltp), axis=0)
+    if cfg_mode:
+        # uncond row: same cond prefix, zeroed text embeds (ref: t3.py:113-114)
+        ce = jnp.concatenate([ce, ce], axis=0)
+        te = jnp.concatenate([te, jnp.zeros_like(te)], axis=0)
     bos = t3m.speech_embed_token(
-        params, hp, jnp.full((1,), hp.start_speech_token, jnp.int32),
+        params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))
     dt = params["speech_emb"]["w"].dtype
     x = jnp.concatenate([ce.astype(dt), te.astype(dt),
@@ -106,28 +125,39 @@ def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
     x = jax.lax.dynamic_update_slice(x, bos.astype(dt), (0, Lc + text_len, 0))
     prefill_len = Lc + text_len + 1
 
-    mini = bb.KVCache.zeros(cfg, 1, P_pad, dtype=state.cache.k.dtype)
-    mask = bb.prefill_mask(P_pad, P_pad, jnp.asarray([prefill_len]))
-    positions = jnp.arange(P_pad)[None]
+    mini = bb.KVCache.zeros(cfg, B, P_pad, dtype=state.cache.k.dtype)
+    mask = bb.prefill_mask(P_pad, P_pad,
+                           jnp.full((B,), prefill_len, jnp.int32))
+    positions = jnp.broadcast_to(jnp.arange(P_pad)[None], (B, P_pad))
     hidden, mini = bb.backbone_apply_unrolled(
         params["backbone"], cfg, x, positions, mini,
         jnp.zeros((), jnp.int32), mask)
     last_h = jnp.take_along_axis(
-        hidden, jnp.full((1, 1, 1), prefill_len - 1), axis=1)[:, 0]
-    logits0 = t3m.speech_logits(params, last_h).astype(jnp.float32)[0]
+        hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
+    logits0 = t3m.speech_logits(params, last_h).astype(jnp.float32)  # (B, V)
 
-    # install the row: K/V prefix at time offset 0 of the slot's cache rows
-    k = jax.lax.dynamic_update_slice(
-        state.cache.k, mini.k.astype(state.cache.k.dtype),
-        (0, slot, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(
-        state.cache.v, mini.v.astype(state.cache.v.dtype),
-        (0, slot, 0, 0, 0))
-    del t_max
+    # install the row(s): K/V prefix at time offset 0 of the slot's cache rows
+    k, v = state.cache.k, state.cache.v
+    kd, vd = k.dtype, v.dtype
+    k = jax.lax.dynamic_update_slice(k, mini.k[:, :1].astype(kd),
+                                     (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(v, mini.v[:, :1].astype(vd),
+                                     (0, slot, 0, 0, 0))
+    logits = state.logits.at[slot].set(logits0[0])
+    if cfg_mode:
+        k = jax.lax.dynamic_update_slice(k, mini.k[:, 1:].astype(kd),
+                                         (0, Sn + slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, mini.v[:, 1:].astype(vd),
+                                         (0, Sn + slot, 0, 0, 0))
+        logits = logits.at[Sn + slot].set(logits0[1])
+    # CFG family seeds the rep-penalty history with the BOS token
+    # (matches sampling/decode.py + sampling/batched.py)
+    seen0 = (jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
+             if cfg_mode else jnp.zeros((V,), jnp.bool_))
     return SlotStates(
         cache=bb.KVCache(k, v),
-        logits=state.logits.at[slot].set(logits0),
-        seen=state.seen.at[slot].set(jnp.zeros((V,), jnp.bool_)),
+        logits=logits,
+        seen=state.seen.at[slot].set(seen0),
         step=state.step.at[slot].set(0),
         done=state.done.at[slot].set(False),
         active=state.active.at[slot].set(True),
@@ -140,18 +170,26 @@ def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
         top_p=state.top_p.at[slot].set(top_p),
         repetition_penalty=state.repetition_penalty.at[slot].set(
             repetition_penalty),
+        min_p=state.min_p.at[slot].set(
+            jnp.zeros((), jnp.float32) if min_p is None else min_p),
+        cfg_weight=state.cfg_weight.at[slot].set(
+            jnp.zeros((), jnp.float32) if cfg_weight is None else cfg_weight),
     )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("hp", "n_steps", "top_k", "fused_attn"),
+                   static_argnames=("hp", "n_steps", "top_k", "fused_attn",
+                                    "cfg_mode"),
                    donate_argnames=("state",))
 def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
                        *, n_steps: int, top_k: int = 1000,
-                       fused_attn: bool = False) -> SlotStates:
-    """Advance every running row by up to n_steps tokens (Turbo pipeline)."""
+                       fused_attn: bool = False,
+                       cfg_mode: bool = False) -> SlotStates:
+    """Advance every running slot by up to n_steps tokens. cfg_mode runs the
+    cond/uncond row pairs of the 520M family (cfg-combine before the
+    rep→temp→min_p→top_p chain); otherwise the Turbo chain."""
     cfg = hp.backbone
-    Sn = state.logits.shape[0]
+    Sn = state.seen.shape[0]
     V = hp.speech_tokens_dict_size
     t_max = state.cache.k.shape[3]
     cap = state.tokens.shape[1]
@@ -159,10 +197,12 @@ def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
     sp = S.SamplerParams(
         temperature=state.temperature[:, None],
         top_p=state.top_p[:, None],
-        min_p=jnp.zeros((Sn, 1), jnp.float32),
+        min_p=state.min_p[:, None],
         repetition_penalty=state.repetition_penalty[:, None],
-        cfg_weight=jnp.zeros((Sn, 1), jnp.float32),
+        cfg_weight=state.cfg_weight[:, None],
     )
+    tile2 = (lambda a: jnp.concatenate([a, a], axis=0)) if cfg_mode \
+        else (lambda a: a)
 
     class _C(NamedTuple):
         i: jnp.ndarray
@@ -177,8 +217,13 @@ def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
         keys_next, subs = pairs[:, 0], pairs[:, 1]
         running = s.active & ~s.done
 
-        pen = s.seen | (start_onehot[None] & (s.step == 0)[:, None])
-        logits = S.process_logits_turbo(s.logits, pen, sp, top_k)
+        if cfg_mode:
+            # seen is BOS-seeded at admit; no step-0 special case needed
+            logits = S.process_logits_cfg(s.logits[:Sn], s.logits[Sn:],
+                                          s.seen, sp)
+        else:
+            pen = s.seen | (start_onehot[None] & (s.step == 0)[:, None])
+            logits = S.process_logits_turbo(s.logits, pen, sp, top_k)
         all_filtered = jnp.all(logits <= S.NEG_INF, axis=-1)
         token = jax.vmap(S.sample_categorical)(subs, logits).astype(jnp.int32)
         token = jnp.where(all_filtered | ~running, hp.stop_speech_token, token)
@@ -192,17 +237,19 @@ def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
         done = s.done | (running & ((token == hp.stop_speech_token)
                                     | (step >= s.max_new)))
 
-        emb = t3m.speech_embed_token(params, hp, token, step)
+        # cfg: both physical rows of a pair consume the same sampled token
+        emb = t3m.speech_embed_token(params, hp, tile2(token), tile2(step))
         pos = s.prefix_lens + s.step                          # (S,) per-row
+        pos_p = tile2(pos)                                    # (Sp,)
         k_pos = jnp.arange(t_max)[None, :]
-        kv_mask = (k_pos <= pos[:, None])[:, None, None]      # (S,1,1,T)
+        kv_mask = (k_pos <= pos_p[:, None])[:, None, None]    # (Sp,1,1,T)
         # keys_next for finished rows keep advancing — harmless, and keeps
         # the loop state shape fixed
         hidden, cache = bb.backbone_apply_unrolled(
-            params["backbone"], cfg, emb, pos[:, None], s.cache,
-            pos, kv_mask, fused_attn=fused_attn)
+            params["backbone"], cfg, emb, pos_p[:, None], s.cache,
+            pos_p, kv_mask, fused_attn=fused_attn)
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
-        logits_new = jnp.where(running[:, None], logits_new, s.logits)
+        logits_new = jnp.where(tile2(running)[:, None], logits_new, s.logits)
         st = s._replace(cache=cache, logits=logits_new, seen=seen, step=step,
                         done=done, keys=keys_next, tokens=tokens)
         return _C(c.i + 1, st)
@@ -240,7 +287,10 @@ class ContinuousTTSServer:
     def __init__(self, t3_params, hp: T3Config, n_slots: int = 8,
                  text_bucket: int = 64, max_new_tokens: int = 1000,
                  chunk: int = 16, top_k: int = 1000, seed: int = 0,
-                 s3gen=None):
+                 s3gen=None, cfg: bool = False):
+        """cfg=True serves the 520M/MTL CFG family: each request occupies a
+        cond/uncond physical row pair; text_tokens must arrive SOT/EOT-framed
+        (the CFG pipelines' framing); per-request min_p/cfg_weight honored."""
         self.t3_params = t3_params
         self.hp = hp
         self.n_slots = n_slots
@@ -249,6 +299,7 @@ class ContinuousTTSServer:
         self.chunk = chunk
         self.top_k = top_k
         self.s3gen = s3gen
+        self.cfg = cfg
         # bucketed cache: start at one chunk's worth of headroom and grow as
         # the furthest slot advances (host-side upper bounds, no extra syncs)
         Lc = t3m.cond_len(hp)
@@ -257,7 +308,7 @@ class ContinuousTTSServer:
         self._t_cap = min(self._t_full,
                           self._cap_base + max(4 * chunk, 16))
         self.state = init_slots(hp, n_slots, text_bucket, max_new_tokens,
-                                t_cap=self._t_cap)
+                                t_cap=self._t_cap, cfg=cfg)
         self._slot_bound: list = [0] * n_slots   # host upper bound on
                                                  # prefix_len + step per slot
         self._key = jax.random.key(seed)
@@ -287,6 +338,10 @@ class ContinuousTTSServer:
             self._key, k = jax.random.split(self._key)
             key = jax.random.key(req.seed) if req.seed is not None else k
             spr = req.sampler
+            # family defaults match the pipelines' generate() signatures
+            # (api/pipelines.py: CFG top_p=1.0/min_p=.05/w=.5; Turbo .95/0/0)
+            top_p, min_p, cfg_w = ((1.0, 0.05, 0.5) if self.cfg
+                                   else (0.95, 0.0, 0.0))
             self.state = admit(
                 self.t3_params, self.hp, self.state, jnp.asarray(slot),
                 req.cond.as_arrays() if hasattr(req.cond, "as_arrays")
@@ -296,8 +351,11 @@ class ContinuousTTSServer:
                 if getattr(req, "max_new", None) is None
                 else jnp.asarray(req.max_new, jnp.int32),
                 jnp.asarray(float(spr.temperature) if spr else 0.8),
-                jnp.asarray(float(spr.top_p) if spr else 0.95),
+                jnp.asarray(float(spr.top_p) if spr else top_p),
                 jnp.asarray(float(spr.repetition_penalty) if spr else 1.2),
+                min_p=jnp.asarray(float(spr.min_p) if spr else min_p),
+                cfg_weight=jnp.asarray(float(spr.cfg_weight) if spr else cfg_w),
+                cfg_mode=self.cfg,
             )
             self._slot_req[slot] = req
             self._slot_bound[slot] = (t3m.cond_len(self.hp) + len(ids) + 1)
@@ -332,6 +390,9 @@ class ContinuousTTSServer:
         for i in finished:
             req = self._slot_req[i]
             t = tokens[i, : steps[i]]
+            if self.cfg:   # CFG family slices between SOS/EOS (ref: tts.py:260)
+                from ..api.pipelines import drop_invalid_tokens_sliced
+                t = drop_invalid_tokens_sliced(t)
             t = t[t < 6561]                       # strip EOS/specials
             self.results[req.request_id] = t
             if self.s3gen is not None and getattr(req, "ref", None) is not None:
@@ -377,7 +438,8 @@ class ContinuousTTSServer:
             self.state = grow_slot_cache(self.state, new_t_cap=new_cap)
             self._t_cap = new_cap
         self.state = decode_chunk_multi(self.t3_params, self.hp, self.state,
-                                        n_steps=self.chunk, top_k=self.top_k)
+                                        n_steps=self.chunk, top_k=self.top_k,
+                                        cfg_mode=self.cfg)
         for i in range(self.n_slots):         # advance host upper bounds
             if self._slot_req[i] is not None:
                 self._slot_bound[i] += self.chunk
@@ -467,7 +529,8 @@ class ContinuousTTSServer:
         self._t_cap = min(self._t_full,
                           self._cap_base + max(4 * self.chunk, 16))
         self.state = init_slots(self.hp, self.n_slots, self.text_bucket,
-                                self.max_new_tokens, t_cap=self._t_cap)
+                                self.max_new_tokens, t_cap=self._t_cap,
+                                cfg=self.cfg)
         cond_arr = cond.as_arrays() if hasattr(cond, "as_arrays") else cond
         text = jnp.zeros((1, self.text_bucket), jnp.int32)
         args = (jnp.asarray(1, jnp.int32), jax.random.key(0),
@@ -476,10 +539,14 @@ class ContinuousTTSServer:
 
         def _touch():
             self.state = admit(self.t3_params, self.hp, self.state,
-                               jnp.asarray(0), cond_arr, text, *args)
+                               jnp.asarray(0), cond_arr, text, *args,
+                               min_p=jnp.asarray(0.05),
+                               cfg_weight=jnp.asarray(0.5),
+                               cfg_mode=self.cfg)
             self.state = decode_chunk_multi(self.t3_params, self.hp,
                                             self.state, n_steps=self.chunk,
-                                            top_k=self.top_k)
+                                            top_k=self.top_k,
+                                            cfg_mode=self.cfg)
             np.asarray(pack_status(self.state))
 
         _touch()
@@ -504,7 +571,8 @@ class ContinuousTTSServer:
         self._t_cap = min(self._t_full,
                           self._cap_base + max(4 * self.chunk, 16))
         self.state = init_slots(self.hp, self.n_slots, self.text_bucket,
-                                self.max_new_tokens, t_cap=self._t_cap)
+                                self.max_new_tokens, t_cap=self._t_cap,
+                                cfg=self.cfg)
         self._slot_req = [None] * self.n_slots
         self._slot_bound = [0] * self.n_slots
         self._pending.clear()

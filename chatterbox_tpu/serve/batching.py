@@ -319,9 +319,10 @@ class ContinuousServingLoop:
     decoding. Under mixed-length traffic a short request is never queued
     behind a long one's tail.
 
-    Turbo/Nano (no-CFG) family only: the slot machine has one physical row
-    per request (sampling/continuous.py); serve the 520M/MTL CFG family with
-    ServingLoop over a cfg=True BatchDecoder."""
+    Serves the Turbo/Nano family (one physical row per request) or — when
+    the slot machine was built with cfg=True — the 520M/MTL CFG family
+    (cond/uncond row pairs; requests must carry SOT/EOT-framed text, e.g.
+    via TTSHTTPServer's frame_text)."""
 
     def __init__(self, server, on_result: Callable[[TTSResult], None],
                  idle_wait_s: float = 0.05):

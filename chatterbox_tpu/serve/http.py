@@ -35,8 +35,9 @@ Two batching backends share this front:
   * token-level continuous (`continuous=` a ContinuousTTSServer): requests
     join the slot machine at the next CHUNK boundary and finish
     independently — a short request is never queued behind a long one's
-    tail. Turbo/Nano family; text length is capped at the slot server's
-    fixed text_bucket (size it for the longest expected request).
+    tail. Turbo/Nano natively; the CFG family via a cfg=True slot machine
+    (pass frame_text). Text length is capped at the slot server's fixed
+    text_bucket (size it for the longest expected request).
 """
 from __future__ import annotations
 
@@ -143,8 +144,9 @@ class TTSHTTPServer:
         continuous (optional): a sampling.continuous.ContinuousTTSServer —
         the HTTP front then runs on token-level continuous batching
         (requests join at chunk boundaries, finish independently) instead of
-        the whole-batch ServingLoop. Turbo/Nano family only; `decoder` may
-        be None and `s3gen` is taken from the slot server."""
+        the whole-batch ServingLoop. Turbo/Nano natively, CFG family via a
+        cfg=True slot machine (+ frame_text); `decoder` may be None and
+        `s3gen` is taken from the slot server."""
         self.sr = sr
         self.tokenizer = tokenizer
         self.voices = voices

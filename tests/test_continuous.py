@@ -258,6 +258,95 @@ class TestContinuousServingLoop:
         assert not srv.results and not srv.wavs and not srv._await_wav
 
 
+class TestContinuousCFG:
+    """cfg=True slot machine: each request runs as a cond/uncond physical
+    row pair (the 520M/MTL family). Gold standard: token streams must
+    EXACTLY match the batched CFG engine run isolated with the same seed."""
+
+    def _cfg_req(self, cond, rid, seed, n_text, w=0.5, temperature=1.0):
+        rng = np.random.default_rng(seed)
+        return TTSRequest(
+            text_tokens=rng.integers(1, 60, n_text).astype(np.int32),
+            cond=cond, request_id=rid, seed=seed,
+            sampler=SamplerParams.make(temperature=temperature, top_p=1.0,
+                                       min_p=0.02, repetition_penalty=1.2,
+                                       cfg_weight=w))
+
+    def _batched_reference(self, hp, params, cond, req, max_new):
+        from chatterbox_tpu.sampling.batched import t3_generate_batched
+        from chatterbox_tpu.api.pipelines import drop_invalid_tokens_sliced
+        ids = req.text_tokens
+        text = np.zeros((1, 16), np.int32)
+        text[0, : len(ids)] = ids
+        out = t3_generate_batched(
+            params, hp, cond.as_arrays(), jnp.asarray(text),
+            jnp.asarray([len(ids)], np.int32), req.sampler,
+            jnp.stack([jax.random.key(req.seed)]),
+            max_new_tokens=max_new, cfg_mode=True)
+        t = np.asarray(out.tokens[0, : int(out.n_tokens[0])])
+        t = drop_invalid_tokens_sliced(t)
+        return t[t < 6561]
+
+    def test_staggered_matches_batched_engine(self, setup):
+        """Requests admitted at different chunk boundaries produce EXACTLY
+        the isolated batched-CFG streams (cross-engine, cross-layout)."""
+        hp, params, cond = setup
+        srv = ContinuousTTSServer(params, hp, n_slots=2, text_bucket=16,
+                                  max_new_tokens=12, chunk=4, cfg=True)
+        reqs = [self._cfg_req(cond, rid=i, seed=20 + i, n_text=4 + 2 * i,
+                              w=0.3 + 0.2 * i, temperature=1.0 + 0.3 * i)
+                for i in range(3)]
+        for r in reqs:                      # 3 requests through 2 slots,
+            srv.submit(r)                   # staggered joins
+            srv.step()
+        res = srv.run_until_idle()
+        assert set(res) == {0, 1, 2}
+        for r in reqs:
+            expect = self._batched_reference(hp, params, cond, r, max_new=12)
+            np.testing.assert_array_equal(res[r.request_id], expect,
+                                          err_msg=f"request {r.request_id}")
+
+    def test_mid_decode_admission_cfg(self, setup):
+        hp, params, cond = setup
+        srv = ContinuousTTSServer(params, hp, n_slots=2, text_bucket=16,
+                                  max_new_tokens=24, chunk=4, cfg=True)
+        long_r = self._cfg_req(cond, rid=1, seed=31, n_text=6)
+        long_r.max_new = 24
+        short_r = self._cfg_req(cond, rid=2, seed=32, n_text=4)
+        short_r.max_new = 4
+        srv.submit(long_r)
+        srv.step()
+        srv.submit(short_r)                 # joins while r1 is mid-decode
+        srv.step()
+        assert 2 in srv.results and 1 not in srv.results
+        srv.run_until_idle()
+        assert set(srv.results) == {1, 2}
+
+    def test_cfg_cache_growth_results_unchanged(self, setup):
+        from chatterbox_tpu.sampling.continuous import init_slots
+        hp, params, cond = setup
+
+        def build():
+            return ContinuousTTSServer(params, hp, n_slots=2, text_bucket=16,
+                                       max_new_tokens=24, chunk=4, cfg=True)
+
+        srv_small = build()
+        cap0 = srv_small._t_cap
+        assert cap0 < srv_small._t_full
+        srv_full = build()
+        srv_full.state = init_slots(hp, 2, 16, 24, cfg=True)
+        srv_full._t_cap = srv_full._t_full
+        for i in range(2):
+            for srv in (srv_small, srv_full):
+                srv.submit(self._cfg_req(cond, rid=i, seed=40 + i, n_text=14))
+        small = srv_small.run_until_idle()
+        full = srv_full.run_until_idle()
+        assert srv_small._t_cap > cap0
+        assert set(small) == set(full) == {0, 1}
+        for rid in small:
+            np.testing.assert_array_equal(small[rid], full[rid])
+
+
 class TestBucketedSlotCache:
     def test_cache_grows_and_results_unchanged(self, setup):
         """The slot cache starts small and grows as rows advance; results

@@ -178,35 +178,72 @@ def _cmd_watermark(args):
                       "threshold_z": DETECT_Z}))
 
 
+class _NormTok:
+    """Serving-side tokenizer adapter: applies the family's punc_norm before
+    tokenizing (the pipelines' generate() does this inline — the batched
+    serving path tokenizes directly, so the normalization rides here)."""
+
+    def __init__(self, tok, variant):
+        self.tok = tok
+        self.variant = variant
+
+    def text_to_tokens(self, text, language_id=None):
+        from chatterbox_tpu.text.tokenizer import punc_norm
+        text = punc_norm(text, variant=self.variant)
+        if language_id is not None:
+            return self.tok.text_to_tokens(text, language_id=language_id)
+        return self.tok.text_to_tokens(text)
+
+
 def _cmd_serve(args):
-    from chatterbox_tpu import ChatterboxTurboTTS
+    from chatterbox_tpu import (ChatterboxMultilingualTTS, ChatterboxTTS,
+                                ChatterboxTurboTTS)
     from chatterbox_tpu.serve.batching import BatchDecoder
     from chatterbox_tpu.serve.http import TTSHTTPServer, Voice
 
-    nano = args.model == "nano"
-    if args.ckpt_dir:
-        model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
+    cfg_family = args.model in ("english", "multilingual")
+    if cfg_family:
+        cls = (ChatterboxTTS if args.model == "english"
+               else ChatterboxMultilingualTTS)
+        model = (cls.from_local(args.ckpt_dir) if args.ckpt_dir
+                 else cls.from_pretrained())
+        variant = "mtl" if args.model == "multilingual" else "en"
+        hp = model.hp
+        # SOT/EOT framing, normally done inside generate (ref: tts.py:240)
+        def frame_text(ids):
+            import numpy as np
+            return np.concatenate([[hp.start_text_token], ids.reshape(-1),
+                                   [hp.stop_text_token]]).astype(np.int32)
+        stream_fn = None        # streaming pipeline is turbo-family
     else:
-        model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
+        nano = args.model == "nano"
+        if args.ckpt_dir:
+            model = ChatterboxTurboTTS.from_local(args.ckpt_dir, nano=nano)
+        else:
+            model = ChatterboxTurboTTS.from_pretrained("tpu", nano=nano)
+        variant, frame_text = "turbo", None
+
+        def stream_fn(text, voice, seed, **kw):
+            # streaming rides the single-stream pipeline (chunked decode +
+            # streaming vocoder); only its sampler knobs apply. Long texts
+            # are split at sentence boundaries (long-form narration) and
+            # each piece streams at TTFA latency.
+            from chatterbox_tpu.api.pipelines import Conditionals
+            from chatterbox_tpu.serve.streaming import chunk_text
+            kw = {k: v for k, v in kw.items()
+                  if k in ("temperature", "top_p", "repetition_penalty")}
+            if seed is not None:
+                model.set_seed(int(seed))
+            model.conds = Conditionals(voice.cond, voice.ref)
+            for piece in chunk_text(text, max_chars=300):
+                yield from model.generate_stream(piece, **kw)
+
     voices = {}
     for name, path in _parse_voice_specs(args.voice):
         model.prepare_conditionals(path)
         voices[name] = Voice(model.conds.t3, model.conds.gen)
-    decoder = BatchDecoder(model.t3_params, model.hp, max_batch=args.max_batch)
-    def _stream_fn(text, voice, seed, **kw):
-        # streaming rides the single-stream pipeline (chunked decode +
-        # streaming vocoder); only its sampler knobs apply. Long texts are
-        # split at sentence boundaries (long-form narration) and each piece
-        # streams at TTFA latency.
-        from chatterbox_tpu.api.pipelines import Conditionals
-        from chatterbox_tpu.serve.streaming import chunk_text
-        kw = {k: v for k, v in kw.items()
-              if k in ("temperature", "top_p", "repetition_penalty")}
-        if seed is not None:
-            model.set_seed(int(seed))
-        model.conds = Conditionals(voice.cond, voice.ref)
-        for piece in chunk_text(text, max_chars=300):
-            yield from model.generate_stream(piece, **kw)
+    decoder = BatchDecoder(model.t3_params, model.hp,
+                           max_batch=args.max_batch, cfg=cfg_family)
 
     def _prepare_fn(path):
         model.prepare_conditionals(path)
@@ -217,11 +254,11 @@ def _cmd_serve(args):
         from chatterbox_tpu.sampling.continuous import ContinuousTTSServer
         slots = ContinuousTTSServer(
             model.t3_params, model.hp, n_slots=args.max_batch,
-            text_bucket=args.text_bucket, s3gen=model.s3gen)
+            text_bucket=args.text_bucket, s3gen=model.s3gen, cfg=cfg_family)
     server = TTSHTTPServer(
-        decoder, model.s3gen, model.tokenizer, voices,
-        sr=model.sr, host=args.host, port=args.port, stream_fn=_stream_fn,
-        prepare_fn=_prepare_fn, continuous=slots)
+        decoder, model.s3gen, _NormTok(model.tokenizer, variant), voices,
+        sr=model.sr, host=args.host, port=args.port, stream_fn=stream_fn,
+        prepare_fn=_prepare_fn, continuous=slots, frame_text=frame_text)
     if args.warmup:
         print("warming the serving program grid ...")
         server.warmup()
@@ -256,7 +293,12 @@ def main(argv=None):
     ps.add_argument("--voice", required=True, action="append",
                     help=">5 s reference wav; repeatable, 'name=path' "
                          "registers a named voice (bare path → 'default')")
-    ps.add_argument("--model", choices=["turbo", "nano"], default="turbo")
+    ps.add_argument("--model",
+                    choices=["turbo", "nano", "english", "multilingual"],
+                    default="turbo",
+                    help="english/multilingual serve the 520M CFG family "
+                         "(per-request min_p/cfg_weight/exaggeration; "
+                         "multilingual honors a \"language\" field)")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8321)
     ps.add_argument("--max-batch", type=int, default=8)

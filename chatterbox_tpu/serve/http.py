@@ -8,6 +8,9 @@ stdlib ThreadingHTTPServer — no extra dependencies:
   POST /tts     {"text": "...", "voice": "<id>", "seed": 3,
                  "temperature": 0.8, "top_p": 0.95,
                  "repetition_penalty": 1.2}          → audio/wav (PCM16)
+                 CFG-family servers also honor "min_p", "cfg_weight",
+                 "exaggeration" (per-request emotion) and — multilingual —
+                 "language" (tokenizer language_id)
   POST /tts     {..., "stream": true}                → chunked audio/wav —
                  audio bytes flow as chunks are synthesized (time-to-first-
                  audio latency; requires a stream_fn, see TTSHTTPServer)
@@ -242,13 +245,30 @@ class TTSHTTPServer:
             os.unlink(path)
 
     def synthesize(self, text: str, voice_id: str, seed: Optional[int] = None,
-                   voice_obj=None, **sampler_kw) -> np.ndarray:
+                   voice_obj=None, language: Optional[str] = None,
+                   exaggeration: Optional[float] = None,
+                   **sampler_kw) -> np.ndarray:
         """Blocking single synthesis through the batched loop. voice_obj
-        (a Voice) overrides the registry lookup — per-request voices."""
+        (a Voice) overrides the registry lookup — per-request voices.
+        language: passed to the tokenizer as language_id (the multilingual
+        family; ref: mtl_tts.py:280). exaggeration: per-request emotion_adv
+        override on the CFG family's conditioning (the demo apps' slider,
+        ref: gradio_tts_app.py) — the voice bundle itself is not mutated."""
         voice = voice_obj if voice_obj is not None else self.voices[voice_id]
-        ids = np.asarray(self.tokenizer.text_to_tokens(text)).reshape(-1)
+        if language is not None:
+            ids = np.asarray(self.tokenizer.text_to_tokens(
+                text, language_id=language)).reshape(-1)
+        else:
+            ids = np.asarray(self.tokenizer.text_to_tokens(text)).reshape(-1)
         if self.frame_text is not None:
             ids = np.asarray(self.frame_text(ids)).reshape(-1)
+        if exaggeration is not None and \
+                float(exaggeration) != float(getattr(voice.cond,
+                                                     "emotion_adv", 0.5)):
+            import copy
+            cond = copy.copy(voice.cond)
+            cond.emotion_adv = float(exaggeration)
+            voice = Voice(cond, voice.ref)
         with self._id_lock:
             rid = self._next_id
             self._next_id += 1
@@ -357,7 +377,8 @@ class TTSHTTPServer:
                     t0 = time.perf_counter()
                     wav = server_self.synthesize(
                         text, voice, seed=req.get("seed"),
-                        voice_obj=voice_obj, **kw)
+                        voice_obj=voice_obj, language=req.get("language"),
+                        exaggeration=req.get("exaggeration"), **kw)
                     server_self.metrics.add_stage(
                         "http_tts", time.perf_counter() - t0)
                 except TimeoutError as e:

@@ -21,7 +21,11 @@ from chatterbox_tpu.serve.http import TTSHTTPServer, Voice, wav_bytes
 
 
 class _Tok:
-    def text_to_tokens(self, t):
+    def __init__(self):
+        self.last_language = "UNSET"
+
+    def text_to_tokens(self, t, language_id=None):
+        self.last_language = language_id
         return (np.arange(len(t)) % 60 + 1).astype(np.int32)[:16]
 
 
@@ -347,6 +351,27 @@ class TestHTTP:
             urllib.request.urlopen(
                 f"http://{server.host}:{server.port}/other", timeout=30)
         assert ei.value.code == 404
+
+    def test_language_field_reaches_tokenizer(self, server):
+        """"language" is forwarded to the tokenizer as language_id (the
+        multilingual family, ref: mtl_tts.py:280); absent → None."""
+        with _post(server, {"text": "bonjour", "seed": 6,
+                            "language": "fr"}) as r:
+            assert len(_parse_wav(r.read())[1]) > 0
+        assert server.tokenizer.last_language == "fr"
+        with _post(server, {"text": "hello", "seed": 6}) as r:
+            r.read()
+        assert server.tokenizer.last_language is None
+
+    def test_exaggeration_override_copies_not_mutates(self, server):
+        """Per-request "exaggeration" overrides emotion_adv on a COPY of the
+        voice conditioning; the registered voice must not be mutated."""
+        before = server.voices["default"].cond.emotion_adv
+        assert before != 0.9
+        with _post(server, {"text": "excited!", "seed": 8,
+                            "exaggeration": 0.9}) as r:
+            assert len(_parse_wav(r.read())[1]) > 0
+        assert server.voices["default"].cond.emotion_adv == before
 
 
 @pytest.fixture(scope="module")

@@ -222,19 +222,33 @@ class _TTSBase:
         wav = wav[0]
         return self.watermarker.apply_watermark(np.asarray(wav), sample_rate=self.sr)
 
+    # budgets at or under this use the sync-free handoff: the vocoder's
+    # worst-case overshoot (vocoding budget−n masked frames at the budget
+    # bucket, ≈21 ms per 10 s-of-audio bucket on v5e) stays below the ~29 ms
+    # relay round-trip the n_tokens sync costs
+    ASYNC_VOCODE_MAX_BUDGET = 256
+
     def _decode_to_wav(self, res, *, cfg_slice: bool, append_sil: int = 0,
-                       n_timesteps: Optional[int] = None):
+                       n_timesteps: Optional[int] = None,
+                       budget: Optional[int] = None):
         """Fused decode→vocode handoff: token filtering/packing happens on
-        device (models/s3gen/model._pack_from_decode), so the only mid-
-        pipeline host sync is the n_tokens scalar (bucket choice). Behavior
-        identical to the host tail the reference uses (tts.py:260-264,
-        tts_turbo.py:308-311). Returns (wav (T,), n_gen)."""
-        n = int(res.n_tokens)                     # the one host sync
+        device (models/s3gen/model._pack_from_decode). With a short enough
+        token budget the vocode buckets come from the budget and the whole
+        decode→vocode→fetch pipeline runs with ZERO mid-pipeline host syncs;
+        otherwise the only sync is the n_tokens scalar (bucket choice).
+        Behavior identical to the host tail the reference uses
+        (tts.py:260-264, tts_turbo.py:308-311). Returns (wav (T,), n_gen)."""
+        if budget is not None and budget <= self.ASYNC_VOCODE_MAX_BUDGET:
+            n = res.n_tokens                      # device scalar — no sync
+            kw = dict(budget=budget)
+        else:
+            n = int(res.n_tokens)                 # the one host sync
+            kw = {}
         wav, n_gen = self.s3gen.inference_from_decode(
             res.tokens, n, self.conds.gen, self._next_key(),
             n_timesteps=n_timesteps, cfg_slice=cfg_slice,
             append_sil=append_sil, sos=self.hp.start_speech_token,
-            eos=self.hp.stop_speech_token)
+            eos=self.hp.stop_speech_token, **kw)
         wav = self.watermarker.apply_watermark(wav[0], sample_rate=self.sr)
         return wav, n_gen
 
@@ -314,7 +328,8 @@ class ChatterboxTTS(_TTSBase):
                               fused_attn=(True if kv_int8 else None))
         # device-side tail: slice SOS..EOS, drop >= vocab, empty → silence
         # (ref: tts.py:260-264)
-        wav, _ = self._decode_to_wav(res, cfg_slice=True)
+        wav, _ = self._decode_to_wav(res, cfg_slice=True,
+                                     budget=max_new_tokens)
         return wav[None]
 
 
@@ -418,7 +433,7 @@ class ChatterboxTurboTTS(_TTSBase):
         # device-side tail: drop >= vocab + 3 silence tokens
         # (ref: tts_turbo.py:308-311)
         wav, _ = self._decode_to_wav(res, cfg_slice=False, append_sil=3,
-                                     n_timesteps=2)
+                                     n_timesteps=2, budget=max_new_tokens)
         return wav[None]
 
     def generate_stream(self, text, audio_prompt_path=None, temperature=0.8,
@@ -560,7 +575,8 @@ class ChatterboxMultilingualTTS(_TTSBase):
                               jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
                               self._next_key(), max_new_tokens=max_new_tokens,
                               cfg_mode=True)
-        wav, n_gen = self._decode_to_wav(res, cfg_slice=True)
+        wav, n_gen = self._decode_to_wav(res, cfg_slice=True,
+                                         budget=max_new_tokens)
         # drop the final token's ~40 ms (ref: mtl_tts.py:348-352)
         st_len = max(1, n_gen - 1)
         wav = wav[: st_len * (S3GEN_SR // 25)]

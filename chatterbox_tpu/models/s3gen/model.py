@@ -547,24 +547,38 @@ class S3GenEngine:
     # ------------------------------------------------------------------
     # decode → vocoder handoff, fully on device
     # ------------------------------------------------------------------
-    def inference_from_decode(self, gen_tokens, n_tokens: int, ref: RefDict,
+    def inference_from_decode(self, gen_tokens, n_tokens, ref: RefDict,
                               key, *, n_timesteps: Optional[int] = None,
                               cfg_slice: bool = False, append_sil: int = 0,
                               sos: int = 6561, eos: int = 6562,
-                              vocab: int = SPEECH_VOCAB_SIZE):
+                              vocab: int = SPEECH_VOCAB_SIZE,
+                              budget: Optional[int] = None):
         """Vocode a T3 decode result without the tokens ever visiting the host.
 
         gen_tokens: (L,) device int32 straight from the decode program;
-        n_tokens: generated count (the caller's one scalar sync, used only
-        to pick buckets). Token filtering/packing runs on device
-        (_pack_from_decode), the fused flow→HiFT program consumes the packed
-        row, and the host fetches one device-sliced waveform. Returns
+        n_tokens: generated count — a host int (the caller's one scalar
+        sync, used only to pick buckets) OR, with `budget`, the decode
+        program's device scalar (no sync). Token filtering/packing runs on
+        device (_pack_from_decode), the fused flow→HiFT program consumes the
+        packed row, and the host fetches one device-sliced waveform. Returns
         (wav (1, T) float32 np, n_gen int) — n_gen = vocoded token count
         after filtering (callers needing the reference's per-token trims use
         it, e.g. mtl_tts.py:348-352).
+
+        budget: token-count upper bound (the decode call's max_new_tokens).
+        When given, buckets come from the budget instead of n_tokens, so the
+        pipeline runs with NO host sync between the decode and vocode
+        dispatches — over the axon relay that sync costs a ~29 ms round-trip
+        per generate(). The vocoder then always runs at the budget bucket:
+        a win whenever its worst-case overshoot (vocoding budget−n masked
+        frames, ≈21 ms per 10 s-of-audio bucket) is smaller than the saved
+        round-trip — i.e. for SHORT budgets (benchmark/narration-chunk
+        workloads). Callers with long budgets and early EOS should keep the
+        synced path.
         """
         prompt_token, prompt_feat, embedding, P = self.device_ref(ref)
-        n_upper = int(n_tokens) + append_sil + (1 if cfg_slice else 0)
+        n_known = budget if budget is not None else int(n_tokens)
+        n_upper = int(n_known) + append_sil + (1 if cfg_slice else 0)
         n_upper = max(n_upper, 1)
         bucket = _bucket(P + n_upper, TOKEN_BUCKETS)
         mel_bucket = _bucket(n_upper * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)

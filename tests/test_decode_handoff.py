@@ -144,6 +144,53 @@ class TestInferenceFromDecode:
         # same token/mel buckets at these sizes → identical programs
         np.testing.assert_allclose(np.asarray(want), got, atol=1e-4)
 
+    def test_budget_mode_same_bucket_bit_identical(self, engine, ref):
+        """budget= (sync-free handoff, buckets from the token budget) must
+        reproduce the synced path exactly when both land in the same
+        token/mel buckets — the program is the same, only the host sync on
+        n_tokens disappears (n rides through as a device scalar)."""
+        rng = np.random.default_rng(9)
+        n, budget = 20, 32            # bucket(P+23) == bucket(P+35) == 64
+        gen = np.zeros(budget, np.int32)
+        gen[:n] = rng.integers(0, 60, n)
+        key = jax.random.key(5)
+
+        want, n_want = engine.inference_from_decode(
+            jnp.asarray(gen), n, ref, key, cfg_slice=False, append_sil=3,
+            sos=SOS, eos=EOS, vocab=VOCAB)
+        got, n_got = engine.inference_from_decode(
+            jnp.asarray(gen), jnp.asarray(n, jnp.int32), ref, key,
+            cfg_slice=False, append_sil=3, sos=SOS, eos=EOS, vocab=VOCAB,
+            budget=budget)
+        assert n_got == n_want == n + 3
+        np.testing.assert_array_equal(np.asarray(want), got)
+
+    def test_budget_mode_early_eos_larger_bucket(self, engine, ref):
+        """Early EOS under a large budget: the budget bucket exceeds the
+        content bucket. The audio realization may differ (the fused
+        program's noise draw is bucket-shaped, like the reference's
+        per-call draw — ref: s3gen.py:313-316) but the token filtering,
+        output length, and determinism must hold."""
+        rng = np.random.default_rng(10)
+        budget, n = 120, 5            # mel bucket 256 vs the synced 128
+        gen = np.full(budget, EOS, np.int32)
+        gen[: n - 1] = rng.integers(0, 60, n - 1)
+        key = jax.random.key(6)
+
+        got, n_gen = engine.inference_from_decode(
+            jnp.asarray(gen), jnp.asarray(n, jnp.int32), ref, key,
+            cfg_slice=False, append_sil=3, sos=SOS, eos=EOS, vocab=VOCAB,
+            budget=budget)
+        # EOS (>= vocab) tokens are filtered; n-1 valid + 3 silence
+        assert n_gen == (n - 1) + 3
+        assert got.shape[1] == n_gen * 2 * 480
+        assert np.isfinite(got).all()
+        again, _ = engine.inference_from_decode(
+            jnp.asarray(gen), jnp.asarray(n, jnp.int32), ref, key,
+            cfg_slice=False, append_sil=3, sos=SOS, eos=EOS, vocab=VOCAB,
+            budget=budget)
+        np.testing.assert_array_equal(got, again)
+
     def test_device_ref_cache_reuses_upload(self, engine, ref):
         a = engine.device_ref(ref)
         b = engine.device_ref(ref)

@@ -112,37 +112,46 @@ def bench_turbo(results):
     sp = SamplerParams.make(temperature=0.8, top_p=0.95, repetition_penalty=1.2,
                             cfg_weight=0.0)
 
-    # fused decode→vocode handoff (r3): tokens never visit the host — the
-    # only mid-pipeline sync is the n_tokens scalar for bucket choice.
+    # fused decode→vocode handoff (r3): tokens never visit the host, and
+    # with budget=N_TOKENS the n_tokens bucket sync disappears too — the
+    # whole decode→vocode→fetch pipeline is dispatched without any
+    # mid-pipeline host round-trip (ignore_eos pins n == N_TOKENS, so the
+    # budget bucket is exactly the synced bucket: identical programs).
     # (r2 path fetched tokens, filtered on host, re-uploaded: ~35 ms/call.)
-    def gen_step(seed):
+    def gen_step(seed, synced=False):
         t0 = time.perf_counter()
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
                           top_k=1000, cfg_mode=False, ignore_eos=True)
-        n = int(res.n_tokens)                  # sync: decode complete
-        t1 = time.perf_counter()
+        if synced:
+            n, t_dec = int(res.n_tokens), time.perf_counter() - t0
+        else:
+            n, t_dec = res.n_tokens, None
         wav, n_gen = engine.inference_from_decode(
             res.tokens, n, ref, jax.random.key(seed + 1000),
-            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size,
+            budget=None if synced else N_TOKENS)
         assert np.isfinite(wav).all()
-        t2 = time.perf_counter()
-        return t1 - t0, t2 - t1, n_gen
+        return time.perf_counter() - t0, t_dec, n_gen
 
     _log("compiling Turbo T3 decode + fused handoff ...")
+    gen_step(0, synced=True)
     gen_step(0)
 
-    t3_times, s3_times, n_gen = [], [], N_TOKENS
-    for i in range(3):
-        dt_t3, dt_s3, n_gen = gen_step(i + 1)
-        t3_times.append(dt_t3)
-        s3_times.append(dt_s3)
+    # one synced run to report the decode/vocode split (info only)
+    tot_s, t_dec, _ = gen_step(1, synced=True)
+    _log(f"Turbo split (synced run): T3 {t_dec:.3f}s "
+         f"({N_TOKENS / t_dec:.1f} tok/s), S3Gen+handoff {tot_s - t_dec:.3f}s")
 
-    t3_t, s3_t = min(t3_times), min(s3_times)
+    totals, n_gen = [], N_TOKENS
+    for i in range(3):
+        tot, _, n_gen = gen_step(i + 2)
+        totals.append(tot)
+
     audio_sec = n_gen / 25.0
-    xrt = audio_sec / (t3_t + s3_t)
-    _log(f"Turbo: T3 {t3_t:.3f}s ({N_TOKENS / t3_t:.1f} tok/s), "
-         f"S3Gen+handoff {s3_t:.3f}s → {xrt:.2f}x realtime")
+    xrt = audio_sec / min(totals)
+    _log(f"Turbo (sync-free pipeline): {min(totals):.3f}s "
+         f"→ {xrt:.2f}x realtime (runs: {[round(t * 1e3) for t in totals]} ms)")
     results["turbo_xrt"] = xrt
     return dict(hp=hp, t3_params=t3_params, engine=engine, cond=cond, ref=ref,
                 sp=sp, text=text)
@@ -215,13 +224,15 @@ def bench_cfg520(results):
     sp = SamplerParams.make(temperature=0.8, top_p=1.0, min_p=0.05,
                             repetition_penalty=1.2, cfg_weight=0.5)
 
-    def step(seed):
+    def step(seed, synced=False):
         t0 = time.perf_counter()
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
                           cfg_mode=True, ignore_eos=True)
-        n = int(res.n_tokens)
-        t1 = time.perf_counter()
+        if synced:
+            n, t_dec = int(res.n_tokens), time.perf_counter() - t0
+        else:
+            n, t_dec = res.n_tokens, None
         # cfg_slice=False + vocab=dict_size: ignore_eos random tokens carry
         # no EOS/vocab semantics — keep the vocoded length pinned at
         # N_TOKENS so the metric divides by the same 10 s of audio as r2
@@ -229,23 +240,25 @@ def bench_cfg520(results):
         # RANDOM tokens, something real checkpoints don't do)
         wav, n_gen = engine.inference_from_decode(
             res.tokens, n, ref, jax.random.key(seed + 1000),
-            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size,
+            budget=None if synced else N_TOKENS)
         assert np.isfinite(wav).all()
-        t2 = time.perf_counter()
-        return t1 - t0, t2 - t1, n_gen
+        return time.perf_counter() - t0, t_dec, n_gen
 
     _log("compiling 520M CFG decode + fused handoff ...")
+    step(0, synced=True)
     step(0)
 
-    t3_times, s3_times, n_gen = [], [], N_TOKENS
+    tot_s, t_dec, _ = step(1, synced=True)
+    _log(f"520M CFG split (synced run): T3 {t_dec:.3f}s, "
+         f"S3Gen+handoff {tot_s - t_dec:.3f}s")
+    totals, n_gen = [], N_TOKENS
     for i in range(2):
-        dt_t3, dt_s3, n_gen = step(i + 1)
-        t3_times.append(dt_t3)
-        s3_times.append(dt_s3)
+        tot, _, n_gen = step(i + 2)
+        totals.append(tot)
     audio_sec = n_gen / 25.0
-    xrt = audio_sec / (min(t3_times) + min(s3_times))
-    _log(f"520M CFG: T3 {min(t3_times):.3f}s, S3Gen+handoff {min(s3_times):.3f}s "
-         f"→ {xrt:.2f}x realtime")
+    xrt = audio_sec / min(totals)
+    _log(f"520M CFG (sync-free pipeline): {min(totals):.3f}s → {xrt:.2f}x realtime")
     results["cfg520_xrt"] = xrt
     return dict(engine=engine, ref=ref)
 
@@ -292,22 +305,19 @@ def bench_turbo_bf16(results, ctx):
         res = t3_generate(t3_params, hp, cond, text, jnp.asarray(30), sp,
                           jax.random.key(seed), max_new_tokens=N_TOKENS,
                           top_k=1000, cfg_mode=False, ignore_eos=True)
-        n = int(res.n_tokens)
-        t1 = time.perf_counter()
         wav, n_gen = engine.inference_from_decode(
-            res.tokens, n, ref, jax.random.key(seed + 1000),
-            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size)
+            res.tokens, res.n_tokens, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size,
+            budget=N_TOKENS)
         assert np.isfinite(wav).all()
-        t2 = time.perf_counter()
-        return t1 - t0, t2 - t1, n_gen
+        return time.perf_counter() - t0, n_gen
 
     _log("compiling bf16 Turbo decode ...")
     step(0)
     runs = [step(i + 1) for i in range(2)]
-    t3_t = min(r[0] for r in runs)
-    s3_t = min(r[1] for r in runs)
-    xrt = (runs[-1][2] / 25.0) / (t3_t + s3_t)
-    _log(f"Turbo bf16: T3 {t3_t:.3f}s, S3Gen {s3_t:.3f}s → {xrt:.2f}x realtime")
+    tot = min(r[0] for r in runs)
+    xrt = (runs[-1][1] / 25.0) / tot
+    _log(f"Turbo bf16 (sync-free pipeline): {tot:.3f}s → {xrt:.2f}x realtime")
     results["turbo_xrt_bf16"] = xrt
 
 

@@ -174,11 +174,13 @@ def bench_ttfa(results, ctx):
             t3_params, hp, cond, text, jnp.asarray(30), sp,
             jax.random.key(seed), max_new_tokens=250, n_steps=CHUNK,
             top_k=1000, cfg_mode=False, ignore_eos=True)
-        toks_h, n_h = jax.device_get((toks, n))
-        toks = toks_h[: int(n_h)] % 6561
-        # the product streaming path: ONE fused device program per feed
+        # the product streaming path: sync-free first feed — the fused
+        # vocode dispatch rides the decode dispatch (no token fetch), and
+        # audio + count come back in ONE device_get
         sv = StreamingVocoder(engine, ref, jax.random.key(seed + 1))
-        chunk = sv.feed(toks[None], final=False)
+        chunk, n_valid, _ = sv.feed_from_decode(
+            toks, n, budget=CHUNK, vocab=hp.speech_tokens_dict_size)
+        assert n_valid == CHUNK
         assert chunk.size > 0 and np.isfinite(chunk).all()
         return (time.perf_counter() - t0) * 1e3
 

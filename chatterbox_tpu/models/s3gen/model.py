@@ -210,16 +210,13 @@ class S3GenEngine:
                                 ).astype(jnp.int16)
             return wav
 
-        @functools.partial(jax.jit,
-                           static_argnames=("n_timesteps", "mel_bucket"),
-                           donate_argnums=(8,))
-        def _fused_stream(params, token, token_len, prompt_len, prompt_feat,
-                          embedding, k_flow, noise, cache_source, cache_len,
-                          phase_carry, k_hift, vocode_len,
-                          n_timesteps, mel_bucket):
-            """Streaming feed as ONE program: flow (aligned fixed noise) →
-            gen-region slice → lookahead trim (mask to `vocode_len` frames) →
-            HiFT with source-cache continuity. The source cache lives in a
+        def _stream_body(params, token, token_len, prompt_len, prompt_feat,
+                         embedding, k_flow, noise, cache_source, cache_len,
+                         phase_carry, k_hift, vocode_len,
+                         n_timesteps, mel_bucket):
+            """Streaming feed body: flow (aligned fixed noise) → gen-region
+            slice → lookahead trim (mask to `vocode_len` frames) → HiFT with
+            source-cache continuity. The source cache lives in a
             fixed-capacity device buffer (donated, updated in place) so
             feeds exchange no cache bytes with the host — only the waveform
             tail is fetched. Ref hooks: flow.py:170-171 (lookahead),
@@ -248,6 +245,49 @@ class S3GenEngine:
             new_cache = jax.lax.dynamic_update_slice(cache_source, src,
                                                      (0, 0, 0))
             return wav, new_cache, f0
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n_timesteps", "mel_bucket"),
+                           donate_argnums=(8,))
+        def _fused_stream(params, token, token_len, prompt_len, prompt_feat,
+                          embedding, k_flow, noise, cache_source, cache_len,
+                          phase_carry, k_hift, vocode_len,
+                          n_timesteps, mel_bucket):
+            """One streaming feed as ONE program (see _stream_body)."""
+            return _stream_body(params, token, token_len, prompt_len,
+                                prompt_feat, embedding, k_flow, noise,
+                                cache_source, cache_len, phase_carry, k_hift,
+                                vocode_len, n_timesteps, mel_bucket)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("bucket", "mel_bucket", "budget",
+                                            "lookahead", "vocab",
+                                            "n_timesteps"),
+                           donate_argnums=(9,))
+        def _fused_stream_from_decode(params, gen_tokens, n_raw, prompt_token,
+                                      prompt_len, prompt_feat, embedding,
+                                      k_flow, noise, cache_source, cache_len,
+                                      phase_carry, k_hift, bucket, mel_bucket,
+                                      budget, lookahead, vocab, n_timesteps):
+            """First streaming feed straight from the decode program's device
+            output: token filter/pack (_pack_body, turbo semantics) + flow +
+            lookahead trim + HiFT in ONE dispatch. Buckets come from the
+            static chunk `budget`, so nothing about the dispatch depends on
+            host-visible decode results — the TTFA-critical token fetch
+            round-trip (~29 ms over the relay) disappears. Returns
+            (wav, new_cache, f0, n_gen (1,), gen_row (1, budget)) — the host
+            fetches audio + count + surviving tokens in one device_get."""
+            row, token_len = _pack_body(gen_tokens, n_raw, prompt_token,
+                                        prompt_len, bucket, 0, False,
+                                        0, 0, vocab)
+            n_gen = token_len - prompt_len                       # (1,)
+            vocode_len = jnp.maximum(n_gen - lookahead, 0) * TOKEN_MEL_RATIO
+            wav, new_cache, f0 = _stream_body(
+                params, row, token_len, prompt_len[None], prompt_feat,
+                embedding, k_flow, noise, cache_source, cache_len,
+                phase_carry, k_hift, vocode_len, n_timesteps, mel_bucket)
+            gen_row = jax.lax.dynamic_slice(row, (0, prompt_len), (1, budget))
+            return wav, new_cache, f0, n_gen, gen_row
 
         def _pack_body(gen_tokens, n_raw, prompt_token, prompt_len,
                        bucket, append_sil, cfg_slice, sos, eos, vocab):
@@ -344,6 +384,7 @@ class S3GenEngine:
         self._flow = _flow
         self._fused = _fused
         self._fused_stream = _fused_stream
+        self._fused_stream_from_decode = _fused_stream_from_decode
         self._pack_from_decode = _pack_from_decode
         self._fused_from_decode = _fused_from_decode
         # device-resident RefDict cache: voice conditioning is uploaded once
@@ -521,6 +562,34 @@ class S3GenEngine:
             jnp.asarray([vocode_frames], jnp.int32),
             n_timesteps=self.n_timesteps, mel_bucket=mel_bucket)
         return wav, new_cache, f0
+
+    def fused_stream_from_decode(self, gen_tokens, n_raw, ref: RefDict,
+                                 k_flow, noise_dev, k_hift, cache_source_dev,
+                                 cache_len: int, phase_carry: np.ndarray, *,
+                                 budget: int, lookahead: int,
+                                 vocab: int = SPEECH_VOCAB_SIZE):
+        """First streaming feed straight from decode output (device arrays).
+
+        gen_tokens: (L,) device int32 from the decode program; n_raw: its
+        device count scalar. Buckets are pinned to the static chunk `budget`
+        so the vocode dispatches with NO host sync after the decode dispatch
+        — the TTFA path's token fetch round-trip disappears. Turbo token
+        semantics (drop >= vocab; no sil append — the caller's loop feeds
+        final silence through the normal path). Returns device
+        (wav (1, mel_bucket*480), new_cache, f0, n_gen (1,),
+        gen_row (1, budget)) for the caller to fetch in ONE device_get.
+        """
+        prompt_token, prompt_feat, embedding, P = self.device_ref(ref)
+        bucket = _bucket(P + budget, TOKEN_BUCKETS)
+        mel_bucket = _bucket(budget * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+        noise = noise_dev[:, : bucket * TOKEN_MEL_RATIO]
+        return self._fused_stream_from_decode(
+            self.params, gen_tokens, jnp.asarray(n_raw, jnp.int32),
+            prompt_token, jnp.asarray(P, jnp.int32), prompt_feat, embedding,
+            k_flow, noise, cache_source_dev, jnp.asarray(cache_len, jnp.int32),
+            jnp.asarray(phase_carry, jnp.float32), k_hift, bucket=bucket,
+            mel_bucket=mel_bucket, budget=budget, lookahead=lookahead,
+            vocab=vocab, n_timesteps=self.n_timesteps)
 
     # ------------------------------------------------------------------
     # device-resident reference conditioning

@@ -108,6 +108,45 @@ class StreamingVocoder:
             return self._feed_exact(final)
         return self._feed_windowed(final)
 
+    def feed_from_decode(self, gen_tokens, n_raw, *, budget: int,
+                         vocab: int, extra_fetch=()):
+        """First feed straight from the decode program's DEVICE output — the
+        vocode dispatches without any host sync after the decode dispatch
+        (TTFA path: saves the token-fetch round-trip, ~29 ms over the relay).
+
+        gen_tokens/n_raw: device arrays from chunked decode; budget: the
+        chunk's token-count upper bound (static — picks the buckets);
+        extra_fetch: device scalars to piggyback on the ONE device_get
+        (e.g. the raw count and done flag the caller's loop needs).
+        Returns (new_audio (T,) np, n_valid int, extras tuple).
+        Exact mode, first feed only; tokens >= vocab are dropped on device
+        (same semantics as the host path's `toks[toks < vocab]`).
+        """
+        assert self.window is None, "device handoff is exact-mode only"
+        assert self._tokens.shape[1] == 0, "feed_from_decode is the FIRST feed"
+        if self._cache_dev is None:
+            self._cache_dev = self.engine.new_stream_cache()
+        wav, cache, _f0, n_gen, gen_row = self.engine.fused_stream_from_decode(
+            gen_tokens, n_raw, self.ref, self._k_flow, self._noise,
+            self._k_hift, self._cache_dev, self._src_cache_len,
+            np.zeros((1, 9), np.float32), budget=budget,
+            lookahead=self.lookahead, vocab=vocab)
+        self._cache_dev = cache
+        # ONE fetch: audio buffer + count + surviving tokens (+ extras)
+        fetched = jax.device_get((wav, n_gen, gen_row) + tuple(extra_fetch))
+        wav_h, n_h, row_h = fetched[:3]
+        n = int(n_h[0])
+        self._tokens = np.asarray(row_h[:, :n], np.int32)
+        gen_frames = max(0, n - self.lookahead) * TOKEN_MEL_RATIO
+        self._src_cache_len = gen_frames * 480
+        new = np.asarray(wav_h[0, : gen_frames * 480])
+        if len(new):
+            f = self._fade[: len(new)]
+            new = new.copy()
+            new[: len(f)] *= f
+        self._emitted_samples = gen_frames * 480
+        return new, n, tuple(fetched[3:])
+
     # ------------------------------------------------------------------
     def _feed_exact(self, final: bool) -> np.ndarray:
         """One fused device program per feed (flow→trim→HiFT, source cache

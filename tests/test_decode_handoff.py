@@ -200,3 +200,78 @@ class TestInferenceFromDecode:
                         ref.prompt_feat.copy(), ref.embedding.copy())
         c = engine.device_ref(other)
         assert c[0] is not a[0]
+
+
+class TestStreamFeedFromDecode:
+    """First streaming feed straight from decode device output
+    (fused_stream_from_decode / StreamingVocoder.feed_from_decode)."""
+
+    def _voc(self, engine, ref, key):
+        from chatterbox_tpu.serve.streaming import StreamingVocoder
+        return StreamingVocoder(engine, ref, key)
+
+    def test_first_feed_matches_host_feed(self, engine, ref):
+        """Same buckets (n=20 vs budget=24 → token bucket 64, mel bucket 128
+        for both): the sync-free first feed must be bit-identical to the
+        host-path feed, and the next feed must continue identically (same
+        accumulated tokens, emitted count, and source cache)."""
+        rng = np.random.default_rng(11)
+        n, budget = 20, 24
+        toks = rng.integers(0, 60, n).astype(np.int32)
+        dev = np.zeros(budget, np.int32)
+        dev[:n] = toks
+        key = jax.random.key(7)
+
+        host = self._voc(engine, ref, key)
+        a1 = host.feed(toks)
+        devv = self._voc(engine, ref, key)
+        b1, n_valid, extras = devv.feed_from_decode(
+            jnp.asarray(dev), jnp.asarray(n, jnp.int32), budget=budget,
+            vocab=VOCAB, extra_fetch=(jnp.asarray(n),))
+        assert n_valid == n and int(extras[0]) == n
+        np.testing.assert_array_equal(a1, b1)
+        np.testing.assert_array_equal(host._tokens, devv._tokens)
+        assert host._emitted_samples == devv._emitted_samples
+        assert host._src_cache_len == devv._src_cache_len
+
+        more = rng.integers(0, 60, 10).astype(np.int32)
+        a2 = host.feed(more, final=True)
+        b2 = devv.feed(more, final=True)
+        np.testing.assert_array_equal(a2, b2)
+
+    def test_first_feed_filters_invalid(self, engine, ref):
+        """Tokens >= vocab inside the first n_raw are dropped on device —
+        same as the host loop's `toks[toks < vocab]`."""
+        rng = np.random.default_rng(12)
+        n, budget = 16, 24
+        toks = rng.integers(0, 60, n).astype(np.int32)
+        toks[3] = EOS
+        toks[9] = SOS
+        dev = np.zeros(budget, np.int32)
+        dev[:n] = toks
+        key = jax.random.key(8)
+
+        keep = toks[toks < VOCAB]
+        host = self._voc(engine, ref, key)
+        a1 = host.feed(keep)
+        devv = self._voc(engine, ref, key)
+        b1, n_valid, _ = devv.feed_from_decode(
+            jnp.asarray(dev), jnp.asarray(n, jnp.int32), budget=budget,
+            vocab=VOCAB)
+        assert n_valid == len(keep) == n - 2
+        np.testing.assert_array_equal(devv._tokens[0], keep)
+        np.testing.assert_array_equal(a1, b1)
+
+    def test_first_feed_under_lookahead_emits_nothing(self, engine, ref):
+        """n below the pre-lookahead length: no audio yet, state still
+        primed so the next feed carries on."""
+        rng = np.random.default_rng(13)
+        dev = np.zeros(24, np.int32)
+        dev[:2] = rng.integers(0, 60, 2)
+        devv = self._voc(engine, ref, jax.random.key(9))
+        out, n_valid, _ = devv.feed_from_decode(
+            jnp.asarray(dev), jnp.asarray(2, jnp.int32), budget=24,
+            vocab=VOCAB)
+        assert n_valid == 2 and out.size == 0
+        tail = devv.feed(rng.integers(0, 60, 8).astype(np.int32), final=True)
+        assert tail.size == 10 * 2 * 480 and np.isfinite(tail).all()

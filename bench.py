@@ -179,7 +179,7 @@ def bench_ttfa(results, ctx):
         # audio + count come back in ONE device_get
         sv = StreamingVocoder(engine, ref, jax.random.key(seed + 1))
         chunk, n_valid, _ = sv.feed_from_decode(
-            toks, n, budget=CHUNK, vocab=hp.speech_tokens_dict_size)
+            toks, n, vocab=hp.speech_tokens_dict_size)
         assert n_valid == CHUNK
         assert chunk.size > 0 and np.isfinite(chunk).all()
         return (time.perf_counter() - t0) * 1e3

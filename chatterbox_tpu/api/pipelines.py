@@ -478,34 +478,26 @@ class ChatterboxTurboTTS(_TTSBase):
         first = True
         while total < max_new_tokens:
             if first:
-                # sync-free first feed (TTFA critical path): the vocode
-                # dispatch rides the decode dispatch with no token fetch in
-                # between; audio + counts come back in ONE device_get
                 first = False
-                chunk, _nv, (n_raw, st_done) = voc.feed_from_decode(
-                    toks, n_new, budget=chunk_tokens,
-                    vocab=SPEECH_VOCAB_SIZE,
-                    extra_fetch=(n_new, state.done))
-                n = int(n_raw)
-                done = bool(st_done) or (total + n >= max_new_tokens) or n == 0
-                total += n
-                if done:
-                    # final tail: 3 silence tokens (ref: tts_turbo.py:310)
-                    tail = voc.feed(np.asarray([S3GEN_SIL] * 3, np.int32),
-                                    final=True)
-                    chunk = np.concatenate([chunk, tail]) if len(chunk) else tail
             else:
                 state, toks, n_new = t3_decode_chunk(
                     self.t3_params, self.hp, state, sp, n_steps=chunk_tokens,
                     top_k=top_k, cfg_mode=False)
-                n = int(n_new)
-                done = bool(state.done) or (total + n >= max_new_tokens) or n == 0
-                toks = np.asarray(toks)[:n]
-                toks = toks[toks < SPEECH_VOCAB_SIZE]
-                if done:
-                    toks = np.concatenate([toks, [S3GEN_SIL] * 3])  # ref: tts_turbo.py:310
-                total += n
-                chunk = voc.feed(toks, final=done)
+            # sync-free feed: the vocode dispatch rides the decode dispatch
+            # with no token fetch in between (device-resident token row);
+            # audio + counts + done come back in ONE device_get per chunk
+            chunk, _nv, (n_raw, st_done) = voc.feed_from_decode(
+                toks, n_new, vocab=SPEECH_VOCAB_SIZE,
+                extra_fetch=(n_new, state.done))
+            n = int(n_raw)
+            done = bool(st_done) or (total + n >= max_new_tokens) or n == 0
+            total += n
+            if done:
+                # final tail: 3 silence tokens (ref: tts_turbo.py:310)
+                tail, _, _ = voc.feed_from_decode(
+                    jnp.zeros((1,), jnp.int32), jnp.asarray(0, jnp.int32),
+                    vocab=SPEECH_VOCAB_SIZE, final=True, append_sil=3)
+                chunk = np.concatenate([chunk, tail]) if len(chunk) else tail
             if len(chunk):
                 # offset keeps the chunked watermark phase-continuous with a
                 # one-shot embed of the concatenated stream

@@ -260,34 +260,61 @@ class S3GenEngine:
                                 vocode_len, n_timesteps, mel_bucket)
 
         @functools.partial(jax.jit,
-                           static_argnames=("bucket", "mel_bucket", "budget",
+                           static_argnames=("bucket", "mel_bucket",
                                             "lookahead", "vocab",
-                                            "n_timesteps"),
-                           donate_argnums=(9,))
-        def _fused_stream_from_decode(params, gen_tokens, n_raw, prompt_token,
-                                      prompt_len, prompt_feat, embedding,
-                                      k_flow, noise, cache_source, cache_len,
-                                      phase_carry, k_hift, bucket, mel_bucket,
-                                      budget, lookahead, vocab, n_timesteps):
-            """First streaming feed straight from the decode program's device
-            output: token filter/pack (_pack_body, turbo semantics) + flow +
-            lookahead trim + HiFT in ONE dispatch. Buckets come from the
-            static chunk `budget`, so nothing about the dispatch depends on
-            host-visible decode results — the TTFA-critical token fetch
-            round-trip (~29 ms over the relay) disappears. Returns
-            (wav, new_cache, f0, n_gen (1,), gen_row (1, budget)) — the host
-            fetches audio + count + surviving tokens in one device_get."""
-            row, token_len = _pack_body(gen_tokens, n_raw, prompt_token,
-                                        prompt_len, bucket, 0, False,
-                                        0, 0, vocab)
-            n_gen = token_len - prompt_len                       # (1,)
-            vocode_len = jnp.maximum(n_gen - lookahead, 0) * TOKEN_MEL_RATIO
-            wav, new_cache, f0 = _stream_body(
-                params, row, token_len, prompt_len[None], prompt_feat,
-                embedding, k_flow, noise, cache_source, cache_len,
-                phase_carry, k_hift, vocode_len, n_timesteps, mel_bucket)
-            gen_row = jax.lax.dynamic_slice(row, (0, prompt_len), (1, budget))
-            return wav, new_cache, f0, n_gen, gen_row
+                                            "n_timesteps", "final",
+                                            "append_sil"),
+                           donate_argnums=(1, 10))
+        def _fused_stream_append(params, row_cap, n_acc, gen_tokens, n_raw,
+                                 prompt_len, prompt_feat, embedding, k_flow,
+                                 noise, cache_source, cache_len, phase_carry,
+                                 k_hift, s0, bucket, mel_bucket, lookahead,
+                                 vocab, n_timesteps, final, append_sil):
+            """Streaming feed straight from the decode program's device
+            output, with the packed [prompt|gen] row RESIDENT on device
+            across feeds (donated, appended in place): chunk filter/append +
+            flow + lookahead trim + HiFT in ONE dispatch. Buckets come from
+            host-known upper bounds, so nothing about the dispatch depends
+            on host-visible decode results — every chunk of a stream costs
+            ONE dispatch + ONE fetch instead of a token fetch round-trip
+            followed by a vocode round-trip (~29 ms saved per chunk over the
+            relay). Only the NEW waveform tail (static chunk-sized slice at
+            traced offset s0) is returned, so the fetch stays O(chunk) as
+            the stream grows. Returns (wav_tail, row_cap', new_cache,
+            n_new (), n_acc' (), chunk_row (1, L)) — audio + counts +
+            surviving tokens in one device_get."""
+            L = gen_tokens.shape[0]
+            idx = jnp.arange(L)
+            valid = (idx < n_raw) & (gen_tokens < vocab)
+            pos = jnp.cumsum(valid) - 1
+            n_new = valid.sum()
+            CAP = row_cap.shape[1] - 1            # last slot = dump
+            base = prompt_len + n_acc
+            tgt = jnp.where(valid, base + pos, CAP)
+            row = row_cap[0].at[tgt].set(gen_tokens)
+            n_acc2 = n_acc + n_new
+            for i in range(append_sil):
+                row = row.at[prompt_len + n_acc2 + i].set(SIL_TOKEN)
+            n_acc2 = n_acc2 + append_sil
+            token_len = prompt_len + n_acc2
+            vl_tokens = (n_acc2 if final
+                         else jnp.maximum(n_acc2 - lookahead, 0))
+            vocode_len = vl_tokens * TOKEN_MEL_RATIO
+            wav, new_cache, _f0 = _stream_body(
+                params, row[None, :bucket], token_len[None], prompt_len[None],
+                prompt_feat, embedding, k_flow, noise, cache_source,
+                cache_len, phase_carry, k_hift, vocode_len[None],
+                n_timesteps, mel_bucket)
+            # a final feed also emits the lookahead tokens held back by the
+            # previous feed, so the tail window covers them too; the pad
+            # keeps the slice in-bounds for non-final feeds (zeros there are
+            # past the emitted region and never read by the host)
+            slack = lookahead * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE
+            tail = (L + append_sil) * TOKEN_MEL_RATIO * TOTAL_UPSAMPLE + slack
+            wav_tail = jax.lax.dynamic_slice(
+                jnp.pad(wav, ((0, 0), (0, slack))), (0, s0), (1, tail))
+            chunk_row = jax.lax.dynamic_slice(row[None], (0, base), (1, L))
+            return wav_tail, row[None], new_cache, n_new, n_acc2, chunk_row
 
         def _pack_body(gen_tokens, n_raw, prompt_token, prompt_len,
                        bucket, append_sil, cfg_slice, sos, eos, vocab):
@@ -384,7 +411,7 @@ class S3GenEngine:
         self._flow = _flow
         self._fused = _fused
         self._fused_stream = _fused_stream
-        self._fused_stream_from_decode = _fused_stream_from_decode
+        self._fused_stream_append = _fused_stream_append
         self._pack_from_decode = _pack_from_decode
         self._fused_from_decode = _fused_from_decode
         # device-resident RefDict cache: voice conditioning is uploaded once
@@ -563,33 +590,50 @@ class S3GenEngine:
             n_timesteps=self.n_timesteps, mel_bucket=mel_bucket)
         return wav, new_cache, f0
 
-    def fused_stream_from_decode(self, gen_tokens, n_raw, ref: RefDict,
-                                 k_flow, noise_dev, k_hift, cache_source_dev,
-                                 cache_len: int, phase_carry: np.ndarray, *,
-                                 budget: int, lookahead: int,
-                                 vocab: int = SPEECH_VOCAB_SIZE):
-        """First streaming feed straight from decode output (device arrays).
+    STREAM_ROW_CAP = TOKEN_BUCKETS[-1]      # device token-row capacity
 
-        gen_tokens: (L,) device int32 from the decode program; n_raw: its
-        device count scalar. Buckets are pinned to the static chunk `budget`
-        so the vocode dispatches with NO host sync after the decode dispatch
-        — the TTFA path's token fetch round-trip disappears. Turbo token
-        semantics (drop >= vocab; no sil append — the caller's loop feeds
-        final silence through the normal path). Returns device
-        (wav (1, mel_bucket*480), new_cache, f0, n_gen (1,),
-        gen_row (1, budget)) for the caller to fetch in ONE device_get.
+    def new_stream_row(self, ref: RefDict):
+        """Device-resident packed [prompt|gen] token row (+1 dump slot) for
+        sync-free streaming; the prompt is written up front (dispatch only,
+        no sync)."""
+        prompt_token, _, _, P = self.device_ref(ref)
+        row = jnp.zeros((1, self.STREAM_ROW_CAP + 1), jnp.int32)
+        return jax.lax.dynamic_update_slice(row, prompt_token[:, :P], (0, 0))
+
+    def fused_stream_append(self, row_dev, n_acc: int, gen_tokens, n_raw,
+                            ref: RefDict, k_flow, noise_dev, k_hift,
+                            cache_source_dev, cache_len: int,
+                            phase_carry: np.ndarray, emitted_samples: int, *,
+                            lookahead: int, vocab: int = SPEECH_VOCAB_SIZE,
+                            final: bool = False, append_sil: int = 0):
+        """One sync-free streaming feed (see _fused_stream_append).
+
+        gen_tokens: (L,) device int32 straight from a decode program; n_raw:
+        its device count scalar; row_dev: the device token row from
+        new_stream_row / the previous feed's return (donated); n_acc /
+        cache_len / emitted_samples: host ints the caller learned from the
+        previous feed's fetch. Buckets come from the upper bound
+        n_acc + L (+append_sil), so the dispatch needs NO host sync after
+        the decode dispatch. Returns device (wav_tail, row', new_cache,
+        n_new, n_acc', chunk_row) for the caller to fetch in ONE device_get.
         """
-        prompt_token, prompt_feat, embedding, P = self.device_ref(ref)
-        bucket = _bucket(P + budget, TOKEN_BUCKETS)
-        mel_bucket = _bucket(budget * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
+        _, prompt_feat, embedding, P = self.device_ref(ref)
+        L = int(gen_tokens.shape[0])
+        ub = n_acc + L + append_sil
+        bucket = _bucket(P + ub, TOKEN_BUCKETS)
+        assert bucket <= self.STREAM_ROW_CAP, \
+            f"stream exceeds row capacity ({P + ub} > {self.STREAM_ROW_CAP})"
+        mel_bucket = _bucket(ub * TOKEN_MEL_RATIO, GEN_MEL_BUCKETS)
         noise = noise_dev[:, : bucket * TOKEN_MEL_RATIO]
-        return self._fused_stream_from_decode(
-            self.params, gen_tokens, jnp.asarray(n_raw, jnp.int32),
-            prompt_token, jnp.asarray(P, jnp.int32), prompt_feat, embedding,
-            k_flow, noise, cache_source_dev, jnp.asarray(cache_len, jnp.int32),
-            jnp.asarray(phase_carry, jnp.float32), k_hift, bucket=bucket,
-            mel_bucket=mel_bucket, budget=budget, lookahead=lookahead,
-            vocab=vocab, n_timesteps=self.n_timesteps)
+        return self._fused_stream_append(
+            self.params, row_dev, jnp.asarray(n_acc, jnp.int32), gen_tokens,
+            jnp.asarray(n_raw, jnp.int32), jnp.asarray(P, jnp.int32),
+            prompt_feat, embedding, k_flow, noise, cache_source_dev,
+            jnp.asarray(cache_len, jnp.int32),
+            jnp.asarray(phase_carry, jnp.float32), k_hift,
+            jnp.asarray(emitted_samples, jnp.int32), bucket=bucket,
+            mel_bucket=mel_bucket, lookahead=lookahead, vocab=vocab,
+            n_timesteps=self.n_timesteps, final=final, append_sil=append_sil)
 
     # ------------------------------------------------------------------
     # device-resident reference conditioning

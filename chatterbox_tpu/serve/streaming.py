@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.s3gen.model import S3GenEngine, RefDict, trim_fade
+from ..models.s3gen.model import S3GenEngine, RefDict, trim_fade, SIL_TOKEN
 from ..models.s3gen.flow import TOKEN_MEL_RATIO, PRE_LOOKAHEAD_LEN
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?。？！])\s+")
@@ -93,6 +93,9 @@ class StreamingVocoder:
         self._emitted_samples = 0
         self._cache_dev = None
         self._src_cache_len = 0
+        # sync-free device handoff state (feed_from_decode)
+        self._row_dev = None       # device [prompt|gen] token row
+        self._n_acc = 0            # host mirror of the row's gen count
         # windowed-mode state
         self._emitted_tokens = 0
         self._mel_tail = np.zeros((1, 0, 80), np.float32)
@@ -102,50 +105,78 @@ class StreamingVocoder:
         """Feed newly generated speech tokens; returns the new audio samples."""
         new_tokens = np.asarray(new_tokens).reshape(1, -1)
         self._tokens = np.concatenate([self._tokens, new_tokens], axis=1)
+        self._row_dev = None      # device token row is stale (rebuilt lazily)
         if not final and self._tokens.shape[1] <= self.lookahead:
             return np.zeros((0,), np.float32)
         if self.window is None:
             return self._feed_exact(final)
         return self._feed_windowed(final)
 
-    def feed_from_decode(self, gen_tokens, n_raw, *, budget: int,
-                         vocab: int, extra_fetch=()):
-        """First feed straight from the decode program's DEVICE output — the
-        vocode dispatches without any host sync after the decode dispatch
-        (TTFA path: saves the token-fetch round-trip, ~29 ms over the relay).
+    def feed_from_decode(self, gen_tokens, n_raw, *, vocab: int,
+                         final: bool = False, append_sil: int = 0,
+                         extra_fetch=()):
+        """Feed straight from the decode program's DEVICE output — the
+        vocode dispatches without any host sync after the decode dispatch,
+        and audio + counts come back in ONE device_get. Works for EVERY
+        chunk of a stream (the packed token row stays resident on device),
+        so each chunk costs one round-trip instead of two (~29 ms saved per
+        chunk over the relay; on the first chunk that is the TTFA path).
 
-        gen_tokens/n_raw: device arrays from chunked decode; budget: the
-        chunk's token-count upper bound (static — picks the buckets);
-        extra_fetch: device scalars to piggyback on the ONE device_get
-        (e.g. the raw count and done flag the caller's loop needs).
-        Returns (new_audio (T,) np, n_valid int, extras tuple).
-        Exact mode, first feed only; tokens >= vocab are dropped on device
-        (same semantics as the host path's `toks[toks < vocab]`).
+        gen_tokens/n_raw: device arrays from chunked decode (gen_tokens'
+        static length is the chunk's token-count upper bound — it picks the
+        buckets); append_sil: silence tokens appended after the chunk
+        (final feeds, ref: tts_turbo.py:310); extra_fetch: device scalars to
+        piggyback on the one device_get (e.g. the raw count and done flag
+        the caller's loop needs). Returns (new_audio (T,) np, n_valid int,
+        extras tuple). Exact mode only; tokens >= vocab are dropped on
+        device (same semantics as the host path's `toks[toks < vocab]`).
+        Interleaves freely with host feed()s: the device row is rebuilt
+        from the accumulated tokens when stale.
         """
         assert self.window is None, "device handoff is exact-mode only"
-        assert self._tokens.shape[1] == 0, "feed_from_decode is the FIRST feed"
         if self._cache_dev is None:
             self._cache_dev = self.engine.new_stream_cache()
-        wav, cache, _f0, n_gen, gen_row = self.engine.fused_stream_from_decode(
-            gen_tokens, n_raw, self.ref, self._k_flow, self._noise,
-            self._k_hift, self._cache_dev, self._src_cache_len,
-            np.zeros((1, 9), np.float32), budget=budget,
-            lookahead=self.lookahead, vocab=vocab)
-        self._cache_dev = cache
-        # ONE fetch: audio buffer + count + surviving tokens (+ extras)
-        fetched = jax.device_get((wav, n_gen, gen_row) + tuple(extra_fetch))
-        wav_h, n_h, row_h = fetched[:3]
-        n = int(n_h[0])
-        self._tokens = np.asarray(row_h[:, :n], np.int32)
-        gen_frames = max(0, n - self.lookahead) * TOKEN_MEL_RATIO
-        self._src_cache_len = gen_frames * 480
-        new = np.asarray(wav_h[0, : gen_frames * 480])
-        if len(new):
-            f = self._fade[: len(new)]
+        if self._row_dev is None:
+            if self._tokens.shape[1] == 0:
+                self._row_dev = self.engine.new_stream_row(self.ref)
+            else:                      # host feed()s happened: rebuild
+                P = int(self.ref.prompt_token_len[0])
+                cap = self.engine.STREAM_ROW_CAP + 1
+                row = np.zeros((1, cap), np.int32)
+                row[0, :P] = self.ref.prompt_token[0, :P]
+                row[0, P: P + self._tokens.shape[1]] = self._tokens[0]
+                self._row_dev = jnp.asarray(row)
+            self._n_acc = self._tokens.shape[1]
+        wav_tail, row2, cache2, n_new, n_acc2, chunk_row = \
+            self.engine.fused_stream_append(
+                self._row_dev, self._n_acc, gen_tokens, n_raw, self.ref,
+                self._k_flow, self._noise, self._k_hift, self._cache_dev,
+                self._src_cache_len, np.zeros((1, 9), np.float32),
+                self._emitted_samples, lookahead=self.lookahead, vocab=vocab,
+                final=final, append_sil=append_sil)
+        self._row_dev, self._cache_dev = row2, cache2
+        # ONE fetch: audio tail + counts + surviving tokens (+ extras)
+        fetched = jax.device_get((wav_tail, n_new, n_acc2, chunk_row)
+                                 + tuple(extra_fetch))
+        wav_h, n_new_h, n_acc2_h, chunk_h = fetched[:4]
+        n_new_h, n_acc2_h = int(n_new_h), int(n_acc2_h)
+        toks = np.asarray(chunk_h[0, :n_new_h], np.int32)
+        if append_sil:
+            toks = np.concatenate([toks, np.full(append_sil, SIL_TOKEN,
+                                                 np.int32)])
+        self._tokens = np.concatenate([self._tokens, toks[None]], axis=1)
+        self._n_acc = n_acc2_h
+        vl = n_acc2_h if final else max(0, n_acc2_h - self.lookahead)
+        gen_frames = vl * TOKEN_MEL_RATIO
+        s0 = self._emitted_samples
+        new = np.asarray(wav_h[0, : max(0, gen_frames * 480 - s0)])
+        if s0 < len(self._fade) and len(new):
+            f = self._fade[s0: s0 + len(new)]
             new = new.copy()
             new[: len(f)] *= f
+        self._src_cache_len = gen_frames * 480
         self._emitted_samples = gen_frames * 480
-        return new, n, tuple(fetched[3:])
+        return new, n_new_h, tuple(fetched[4:])
 
     # ------------------------------------------------------------------
     def _feed_exact(self, final: bool) -> np.ndarray:

@@ -226,7 +226,7 @@ class TestStreamFeedFromDecode:
         a1 = host.feed(toks)
         devv = self._voc(engine, ref, key)
         b1, n_valid, extras = devv.feed_from_decode(
-            jnp.asarray(dev), jnp.asarray(n, jnp.int32), budget=budget,
+            jnp.asarray(dev), jnp.asarray(n, jnp.int32),
             vocab=VOCAB, extra_fetch=(jnp.asarray(n),))
         assert n_valid == n and int(extras[0]) == n
         np.testing.assert_array_equal(a1, b1)
@@ -256,8 +256,7 @@ class TestStreamFeedFromDecode:
         a1 = host.feed(keep)
         devv = self._voc(engine, ref, key)
         b1, n_valid, _ = devv.feed_from_decode(
-            jnp.asarray(dev), jnp.asarray(n, jnp.int32), budget=budget,
-            vocab=VOCAB)
+            jnp.asarray(dev), jnp.asarray(n, jnp.int32), vocab=VOCAB)
         assert n_valid == len(keep) == n - 2
         np.testing.assert_array_equal(devv._tokens[0], keep)
         np.testing.assert_array_equal(a1, b1)
@@ -270,8 +269,61 @@ class TestStreamFeedFromDecode:
         dev[:2] = rng.integers(0, 60, 2)
         devv = self._voc(engine, ref, jax.random.key(9))
         out, n_valid, _ = devv.feed_from_decode(
-            jnp.asarray(dev), jnp.asarray(2, jnp.int32), budget=24,
-            vocab=VOCAB)
+            jnp.asarray(dev), jnp.asarray(2, jnp.int32), vocab=VOCAB)
         assert n_valid == 2 and out.size == 0
         tail = devv.feed(rng.integers(0, 60, 8).astype(np.int32), final=True)
         assert tail.size == 10 * 2 * 480 and np.isfinite(tail).all()
+
+    def test_multi_chunk_device_feeds_match_host_feeds(self, engine, ref):
+        """A whole stream through device feeds (resident token row, one
+        fetch per chunk) must match the same stream through host feeds —
+        state continuity across chunks AND across the final silence-append
+        feed. Chunk sizes chosen so every feed's buckets coincide with the
+        host path's."""
+        rng = np.random.default_rng(14)
+        c1, c2 = (rng.integers(0, 60, 16).astype(np.int32),
+                  rng.integers(0, 60, 16).astype(np.int32))
+        key = jax.random.key(15)
+
+        host = self._voc(engine, ref, key)
+        h = [host.feed(c1), host.feed(c2),
+             host.feed(np.full(3, SIL_TOKEN, np.int32), final=True)]
+
+        devv = self._voc(engine, ref, key)
+        d = []
+        for c in (c1, c2):
+            out, n_valid, _ = devv.feed_from_decode(
+                jnp.asarray(c), jnp.asarray(len(c), jnp.int32), vocab=VOCAB)
+            assert n_valid == len(c)
+            d.append(out)
+        # final: empty chunk + 3 appended silence tokens, all on device
+        out, n_valid, _ = devv.feed_from_decode(
+            jnp.zeros((1,), jnp.int32), jnp.asarray(0, jnp.int32),
+            vocab=VOCAB, final=True, append_sil=3)
+        assert n_valid == 0
+        d.append(out)
+
+        np.testing.assert_array_equal(host._tokens, devv._tokens)
+        for i, (a, b) in enumerate(zip(h, d)):
+            assert a.shape == b.shape, (i, a.shape, b.shape)
+            np.testing.assert_array_equal(a, b, err_msg=f"chunk {i}")
+
+    def test_device_feed_after_host_feed_rebuilds_row(self, engine, ref):
+        """Interleaving host feed() then feed_from_decode: the device row is
+        rebuilt from the accumulated tokens and the stream continues as if
+        all feeds were host feeds."""
+        rng = np.random.default_rng(16)
+        c1, c2 = (rng.integers(0, 60, 16).astype(np.int32),
+                  rng.integers(0, 60, 16).astype(np.int32))
+        key = jax.random.key(17)
+
+        host = self._voc(engine, ref, key)
+        a1, a2 = host.feed(c1), host.feed(c2)
+
+        mix = self._voc(engine, ref, key)
+        b1 = mix.feed(c1)
+        b2, n_valid, _ = mix.feed_from_decode(
+            jnp.asarray(c2), jnp.asarray(len(c2), jnp.int32), vocab=VOCAB)
+        assert n_valid == len(c2)
+        np.testing.assert_array_equal(a1, b1)
+        np.testing.assert_array_equal(a2, b2)

@@ -8,7 +8,8 @@ TPU execution model: the host-facing S3GenEngine owns the params and a small
 set of bucketed jitted programs —
   * flow_to_mel[token_bucket]: [prompt|gen] tokens → mel buffer
   * mel_to_wav[mel_bucket]: gen mels → waveform
-  * embed_ref pieces bucketed on (0.5 s-quantized) reference length.
+  * embed_ref pieces padded UP to 0.5 s buckets with masked true lengths
+    (the masked CAMPPlus makes padding exact — no truncation anywhere).
 Dynamic lengths travel as scalars + masks inside each bucket, so steady-state
 serving never recompiles.
 """
@@ -401,8 +402,9 @@ class S3GenEngine:
                                         wav_len, max_len=max_len)
 
         @jax.jit
-        def _xvector(params, wav16):
-            return campplus_embed_wav(params["speaker_encoder"], wav16)
+        def _xvector(params, wav16, n_samples):
+            return campplus_embed_wav(params["speaker_encoder"], wav16,
+                                      n_samples)
 
         @jax.jit
         def _mel24(wav24):
@@ -439,14 +441,16 @@ class S3GenEngine:
         wav16 = ref_wav if ref_sr == S3_SR else np.asarray(
             resample(jnp.asarray(ref_wav), ref_sr, S3_SR))
 
-        # x-vector over a 0.5 s-quantized slice: bounds compiles to ≤20
-        # shapes; the global speaker average over ≥95% of the audio is the
-        # one place length quantization is immaterial (the prompt
-        # mel/tokens below use the FULL audio — no truncation there)
+        # x-vector over the FULL audio, padded UP to a 0.5 s bucket with the
+        # true length passed in: compiles stay bounded to ≤20 shapes while
+        # the masked CAMPPlus computes exactly the unpadded result (no
+        # truncation divergence from the reference anywhere in embed_ref)
         half_sec = S3_SR // 2
-        nq = max(half_sec, (len(wav16) // half_sec) * half_sec)
+        nq = max(half_sec, -(-len(wav16) // half_sec) * half_sec)
+        wav16x = np.pad(wav16, (0, nq - len(wav16)))
         embedding = np.asarray(
-            self._xvector(self.params, jnp.asarray(wav16[:nq])[None]))
+            self._xvector(self.params, jnp.asarray(wav16x)[None],
+                          jnp.asarray([len(wav16)], np.int32)))
 
         # pad to a whole number of 40 ms tokens (ref: s3tokenizer.py:54-76);
         # the <40 ms zero tail mirrors the reference's mel==2·token repair

@@ -73,7 +73,8 @@ def real_batches(data_dir, batch: int, t_tok: int, engine, sr_expect=None):
         w24 = np.asarray(resample(wav, sr, S3GEN_SR))[: t_tok * (S3GEN_SR // 25)]
         tok, tl = engine.tokenize(w16)
         feat = np.asarray(engine._mel24(jnp.asarray(w24)[None]))
-        emb = np.asarray(engine._xvector(engine.params, jnp.asarray(w16)[None]))
+        emb = np.asarray(engine._xvector(engine.params, jnp.asarray(w16)[None],
+                                         jnp.asarray([len(w16)], np.int32)))
         return tok[0], int(tl[0]), feat[0], emb[0]
 
     it = iter(loader)

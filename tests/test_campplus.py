@@ -61,6 +61,34 @@ class TestCAMPPlusParity:
         assert emb.shape == (1, 192)
         assert np.isfinite(np.asarray(emb)).all()
 
+    def test_masked_pad_equals_unpadded(self, ref_campplus):
+        """Pad-to-bucket + mask computes EXACTLY the unpadded x-vector: the
+        embed_ref path that replaced the old 0.5 s truncation divergence."""
+        m = ref_campplus
+        sd = {f"speaker_encoder.{k}": v.detach().float().numpy()
+              for k, v in m.state_dict().items()}
+        params = W.convert_campplus(sd)
+        rng = np.random.default_rng(7)
+        # lengths chosen to hit odd frame counts, partial seg_pool segments
+        # after the stride-2 TDNN, and a partial final fbank frame
+        lens = [12345, 16000, 30777]
+        bucket = 32000
+        golden = [
+            np.asarray(C.campplus_embed_wav(
+                params, jnp.asarray((rng.standard_normal((1, n)) * 0.1
+                                     ).astype(np.float32))))
+            for n in lens]
+        # rebuild the same wavs (fresh rng) into one padded batch
+        rng = np.random.default_rng(7)
+        batch = np.zeros((len(lens), bucket), np.float32)
+        for i, n in enumerate(lens):
+            batch[i, :n] = (rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+        embs = np.asarray(C.campplus_embed_wav(
+            params, jnp.asarray(batch), jnp.asarray(lens, np.int32)))
+        for i, g in enumerate(golden):
+            np.testing.assert_allclose(embs[i : i + 1], g, atol=2e-4,
+                                       err_msg=f"row {i} (len {lens[i]})")
+
 
 # ---------------------------------------------------------------------------
 # VoiceEncoder full-module golden (librosa stubbed — only needed for its

@@ -57,6 +57,35 @@ class TestShardedTrainStep:
             assert np.isfinite(float(m["loss_speech"]))
 
 
+class TestTensorParallelDecode:
+    def test_tp_cfg_decode_token_identical(self, mesh):
+        """Single-stream 520M-family CFG decode with weights sharded over
+        the 'model' axis (dp2 x tp4): the latency-optimized deployment —
+        one request, eight chips. XLA inserts the psum collectives from the
+        param shardings; tokens must match the unsharded engine exactly."""
+        from chatterbox_tpu.sampling.decode import t3_generate
+
+        hp = T3Config.tiny_test("llama")
+        params = t3m.t3_init(jax.random.key(0), hp)
+        cond = t3m.T3CondArrays(
+            speaker_emb=jnp.zeros((1, 256)),
+            cond_prompt_speech_tokens=jnp.zeros(
+                (1, hp.speech_cond_prompt_len), jnp.int32),
+            emotion_adv=0.5 * jnp.ones((1, 1, 1)),
+        )
+        text = jnp.pad(jnp.arange(1, 9, dtype=jnp.int32)[None], ((0, 0), (0, 8)))
+        sp = SamplerParams.make(temperature=0.8, top_p=1.0, min_p=0.05,
+                                repetition_penalty=1.2, cfg_weight=0.5)
+        args = (hp, cond, text, jnp.asarray(8), sp, jax.random.key(7))
+        kw = dict(max_new_tokens=8, cfg_mode=True, ignore_eos=True)
+
+        base = t3_generate(params, *args, **kw)
+        with mesh:
+            res = t3_generate(shard_t3_params(params, mesh), *args, **kw)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(base.tokens))
+
+
 class TestDataParallelServing:
     def test_batched_decode_dp_sharded(self):
         """Batched turbo decode with the request batch sharded over a pure

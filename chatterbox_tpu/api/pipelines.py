@@ -383,20 +383,32 @@ class ChatterboxTurboTTS(_TTSBase):
     def generate(self, text, repetition_penalty=1.2, min_p=0.00, top_p=0.95,
                  audio_prompt_path=None, exaggeration=0.0, cfg_weight=0.0,
                  temperature=0.8, top_k=1000, norm_loudness=True,
-                 max_new_tokens=1000, kv_int8=False):
+                 max_new_tokens=1000, kv_int8=False, draft=None, n_draft=4):
         """(ref: tts_turbo.py:272-320)
 
         kv_int8: opt-in int8 KV cache + pallas streamed-dequant attention
         kernel — measured +20 % decode throughput at the 1000-token budget
         (1214 vs 1015 tok/s one-shot, tools/ab_int8.py); adds ~0.004 mean
         logit error on top of int8 weights. Off until validated on real
-        checkpoints (tools/real_weights_check.py)."""
+        checkpoints (tools/real_weights_check.py).
+
+        draft: optional draft pipeline (e.g. a Nano ChatterboxTurboTTS) for
+        speculative decoding — the draft proposes n_draft tokens per round,
+        this model verifies them in ONE forward (sampling/speculative.py);
+        the output distribution is exactly this model's. The draft builds
+        its own conditionals from the same prompt."""
         if audio_prompt_path:
             self.prepare_conditionals(audio_prompt_path, exaggeration=exaggeration,
                                       norm_loudness=norm_loudness)
+            if draft is not None:
+                draft.prepare_conditionals(audio_prompt_path,
+                                           exaggeration=exaggeration,
+                                           norm_loudness=norm_loudness)
         else:
             assert self.conds is not None, \
                 "Please `prepare_conditionals` first or specify `audio_prompt_path`"
+            assert draft is None or draft.conds is not None, \
+                "draft pipeline needs conditionals too"
         if cfg_weight > 0.0 or exaggeration > 0.0 or min_p > 0.0:
             logger.warning(f"CFG, min_p and exaggeration are not supported by the "
                            f"{self.model_label} version and will be ignored.")
@@ -413,7 +425,15 @@ class ChatterboxTurboTTS(_TTSBase):
                                 repetition_penalty=repetition_penalty, cfg_weight=0.0)
         from ..sampling.chunked import (BUCKETED_DECODE_THRESHOLD,
                                         t3_generate_bucketed)
-        if max_new_tokens >= BUCKETED_DECODE_THRESHOLD:
+        if draft is not None:
+            from ..sampling.speculative import t3_generate_speculative
+            res = t3_generate_speculative(
+                self.t3_params, draft.t3_params, self.hp, draft.hp,
+                self.conds.t3.as_arrays(), draft.conds.t3.as_arrays(),
+                jnp.asarray(text_tokens), jnp.asarray(len(ids)), sp,
+                self._next_key(), max_new_tokens=max_new_tokens,
+                n_draft=n_draft, top_k=top_k)
+        elif max_new_tokens >= BUCKETED_DECODE_THRESHOLD:
             # long budgets: bucketed cache growth — attention reads O(actual
             # length), not O(P+max_new); token stream identical to one-shot
             # (+15 % at the reference's default 1000-token cap)

@@ -76,6 +76,22 @@ class TestTurboPipeline:
         assert out.shape[1] > 0
         assert np.isfinite(out).all()
 
+    def test_generate_with_draft(self, model, tmp_path):
+        """Speculative decoding through the pipeline: a second tiny model
+        drafts, `model` verifies (sampling/speculative.py)."""
+        from chatterbox_tpu.utils.audio_io import save_wav
+        wav_path = tmp_path / "ref_draft.wav"
+        save_wav(str(wav_path), _make_ref_wav(6), 24000)
+        hp = T3Config.tiny_test("gpt2")
+        draft = ChatterboxTurboTTS.random_init(
+            key=jax.random.key(9), nano=True, tokenizer=FakeTokenizer(),
+            hp=hp, **TINY)
+        out = model.generate("Hello there.", audio_prompt_path=str(wav_path),
+                             max_new_tokens=8, top_k=50, draft=draft,
+                             n_draft=3)
+        assert out.ndim == 2 and out.shape[0] == 1 and out.shape[1] > 0
+        assert np.isfinite(out).all()
+
     def test_conditionals_save_load(self, model, tmp_path):
         path = tmp_path / "conds.npz"
         model.conds.save(str(path))

@@ -243,7 +243,8 @@ def _cmd_serve(args):
         model.prepare_conditionals(path)
         voices[name] = Voice(model.conds.t3, model.conds.gen)
     decoder = BatchDecoder(model.t3_params, model.hp,
-                           max_batch=args.max_batch, cfg=cfg_family)
+                           max_batch=args.max_batch, cfg=cfg_family,
+                           kv_int8=args.kv_int8)
 
     def _prepare_fn(path):
         model.prepare_conditionals(path)
@@ -254,7 +255,8 @@ def _cmd_serve(args):
         from chatterbox_tpu.sampling.continuous import ContinuousTTSServer
         slots = ContinuousTTSServer(
             model.t3_params, model.hp, n_slots=args.max_batch,
-            text_bucket=args.text_bucket, s3gen=model.s3gen, cfg=cfg_family)
+            text_bucket=args.text_bucket, s3gen=model.s3gen, cfg=cfg_family,
+            kv_int8=args.kv_int8)
     server = TTSHTTPServer(
         decoder, model.s3gen, _NormTok(model.tokenizer, variant), voices,
         sr=model.sr, host=args.host, port=args.port, stream_fn=stream_fn,
@@ -307,6 +309,10 @@ def main(argv=None):
                          "the decode at chunk boundaries and finish "
                          "independently (no whole-batch drain); max-batch "
                          "becomes the slot count")
+    ps.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache in the batched decode (pallas "
+                         "streamed-int8 attention): half the attention HBM "
+                         "bytes at long budgets; quality A/B: tools/ab_int8.py")
     ps.add_argument("--text-bucket", type=int, default=128,
                     help="continuous mode's fixed text-token capacity "
                          "(longer requests are truncated)")

@@ -177,19 +177,22 @@ def _write_cache_full(all_cache: jnp.ndarray, new: jnp.ndarray, layer: jnp.ndarr
 # forward
 # ---------------------------------------------------------------------------
 
-def _attn_core(q, ck, cv, start, kv_mask, fused: bool):
+def _attn_core(q, ck, cv, start, kv_mask, fused: bool, kv_lo=None):
     """Attention over the cache: Pallas decode kernel for single-token steps
     (ops/pallas_attention.py), XLA mha otherwise. The streamed flash variant
     (tile-clamped DMA ⇒ O(cur_len) traffic) is used when the cache length is
     tile-aligned; it wins over XLA mha when T_max far exceeds the current
-    length (long-form generation)."""
+    length (long-form generation). kv_lo: optional (B,) per-row lower bound
+    (left-padded batched layout) — only the streamed kernel honors it, the
+    whole-slice kernel falls back to XLA mha (kv_mask carries both bounds)."""
     if fused and q.shape[2] == 1:
         from ...ops.pallas_attention import (
             TT, decode_attention, decode_attention_streamed)
         cur = jnp.broadcast_to(start, (q.shape[0],)) if start.ndim == 0 else start
         if ck.shape[2] % TT == 0:
-            return decode_attention_streamed(q, ck, cv, cur)
-        return decode_attention(q, ck, cv, cur)
+            return decode_attention_streamed(q, ck, cv, cur, lo=kv_lo)
+        if kv_lo is None:
+            return decode_attention(q, ck, cv, cur)
     return nn.mha(q, ck, cv, mask=kv_mask)
 
 
@@ -283,9 +286,14 @@ def backbone_apply(params: dict, cfg: BackboneConfig, embeds: jnp.ndarray,
 def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
                             embeds: jnp.ndarray, positions: jnp.ndarray,
                             cache: KVCache, start: jnp.ndarray,
-                            kv_mask: jnp.ndarray, fused_attn: bool = False):
+                            kv_mask: jnp.ndarray, fused_attn: bool = False,
+                            kv_lo: jnp.ndarray | None = None):
     """Decode-loop fast path: python-unrolled layers (STATIC weight indexing —
     no per-layer weight gather/copy) + in-place full-cache writes.
+
+    kv_lo: optional (B,) per-row first valid cache position (the batched
+    engine's left-pad); threaded to the pallas decode kernels so their
+    tile DMA and masks respect the lower bound.
 
     Perf history (v5e, GPT2-medium int8, see DESIGN.md): the scan version
     round-tripped the cache (~440 tok/s); the fori_loop version fixed the
@@ -386,7 +394,7 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
                        if start.ndim == 0 else start)
                 attn = decode_attention_streamed_int8(
                     q, all_k[i], all_ks[i][..., 0],
-                    all_v[i], all_vs[i][..., 0], cur)
+                    all_v[i], all_vs[i][..., 0], cur, lo=kv_lo)
                 ck = cv = None
             else:
                 # dequant folds into the attention matmul's operand read
@@ -400,7 +408,8 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
                 rep = cfg.num_heads // cfg.num_kv_heads
                 ck = jnp.repeat(ck, rep, axis=1)
                 cv = jnp.repeat(cv, rep, axis=1)
-            attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn)
+            attn = _attn_core(q, ck, cv, start, kv_mask, fused_attn,
+                              kv_lo=kv_lo)
         if fused_layer and cfg.is_gpt:
             from ...ops.fused_layer import (apply_fused_gpt2_mlp,
                                             apply_fused_gpt2_mlp_int8)

@@ -66,14 +66,16 @@ def _on_tpu() -> bool:
 TT = 256          # cache tile (keys per grid step)
 
 
-def _flash_decode_kernel(lt_ref, cl_ref, q_ref, k_ref, v_ref, out_ref,
+def _flash_decode_kernel(lt_ref, cl_ref, lo_ref, q_ref, k_ref, v_ref, out_ref,
                          m_scr, l_scr, acc_scr):
     """Grid (B, T//TT), t innermost. Scalar-prefetch: lt (B,) last valid tile,
-    cl (B,) current length. q (1, H, D); k/v (1, H, TT, D) streamed tiles —
-    the index map clamps t to lt[b], so tiles past the valid region repeat
-    the previous block index and Pallas SKIPS their DMA: the HBM traffic per
-    step is O(cur_len), not O(T_max). Flash accumulation (running max / sum)
-    in f32 scratch; out (1, H, D) written on the last tile."""
+    cl (B,) current length, lo (B,) first valid position (left-pad lower
+    bound; 0 for dense layouts). q (1, H, D); k/v (1, H, TT, D) streamed
+    tiles — the index map clamps t to [lo[b]//TT, lt[b]], so tiles outside
+    the valid region repeat an adjacent block index and Pallas SKIPS their
+    DMA: the HBM traffic per step is O(cur_len - lo), not O(T_max). Flash
+    accumulation (running max / sum) in f32 scratch; out (1, H, D) written
+    on the last tile."""
     b, t = pl.program_id(0), pl.program_id(1)
     n_t = pl.num_programs(1)
     H, D = q_ref.shape[1], q_ref.shape[2]
@@ -84,7 +86,7 @@ def _flash_decode_kernel(lt_ref, cl_ref, q_ref, k_ref, v_ref, out_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(t <= lt_ref[b])
+    @pl.when((t >= lo_ref[b] // TT) & (t <= lt_ref[b]))
     def _():
         # k-leading operand order + f32 operands: Mosaic only lowers batched
         # matvecs as [B,N,K]x[B,K] with f32 (bf16 variants fail to compile)
@@ -97,11 +99,11 @@ def _flash_decode_kernel(lt_ref, cl_ref, q_ref, k_ref, v_ref, out_ref,
             preferred_element_type=jnp.float32,
         ) * scale                                       # (H, TT) f32
         pos = t * TT + jax.lax.broadcasted_iota(jnp.int32, (H, TT), 1)
-        valid = pos <= cl_ref[b]
+        valid = (pos >= lo_ref[b]) & (pos <= cl_ref[b])
         scores = jnp.where(valid, scores, -jnp.inf)
         m_prev = m_scr[:, 0:1]                          # (H, 1)
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-        # all-masked tile guard (can't happen for t<=lt, but keep exp finite)
+        # all-masked tile guard (can't happen for lo//TT<=t<=lt, keep exp finite)
         m_new = jnp.maximum(m_new, -3.0e38)
         alpha = jnp.exp(m_prev - m_new)                 # (H, 1)
         p = jnp.exp(scores - m_new)
@@ -130,16 +132,19 @@ def _flash_decode_kernel(lt_ref, cl_ref, q_ref, k_ref, v_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_attention_streamed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                               cur_len: jnp.ndarray,
-                              interpret: bool | None = None) -> jnp.ndarray:
+                              interpret: bool | None = None,
+                              lo: jnp.ndarray | None = None) -> jnp.ndarray:
     """Streamed single-token decode attention over the KV cache.
 
     q: (B, H, 1, D); k/v: (B, H, T, D) with T % TT == 0; cur_len: (B,) —
-    keys at positions <= cur_len[b] attend. Returns (B, H, 1, D).
+    keys at positions lo[b] <= pos <= cur_len[b] attend (lo defaults to 0:
+    the dense single-request layout; the left-padded batched layout passes
+    its per-row pad as lo). Returns (B, H, 1, D).
 
     Unlike `decode_attention` (whole-slice VMEM copy-in, blocking), the
     cache streams in TT-sized tiles that Pallas double-buffers across grid
-    steps, and tiles beyond cur_len[b] are never fetched (clamped block
-    index ⇒ DMA skipped), so per-step attention cost tracks the true
+    steps, and tiles outside [lo[b], cur_len[b]] are never fetched (clamped
+    block index ⇒ DMA skipped), so per-step attention cost tracks the true
     sequence length — the static T_max buffer is free."""
     B, H, _, D = q.shape
     T = k.shape[2]
@@ -149,21 +154,22 @@ def decode_attention_streamed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n_t = T // TT
     cur_len = cur_len.astype(jnp.int32)
     last_tile = jnp.minimum(cur_len // TT, n_t - 1)
+    lo = (jnp.zeros((B,), jnp.int32) if lo is None
+          else jnp.asarray(lo, jnp.int32))
+
+    def _kv_idx(b, t, lt, cl, lo):
+        return (b, 0, jnp.clip(t, lo[b] // TT, lt[b]), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, n_t),
         in_specs=[
-            pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+            pl.BlockSpec((1, H, D), lambda b, t, lt, cl, lo: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, TT, D),
-                         lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b]), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, TT, D),
-                         lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b]), 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, TT, D), _kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, TT, D), _kv_idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, H, D), lambda b, t, lt, cl, lo: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((H, 128), jnp.float32),   # running max (col 0)
@@ -176,11 +182,11 @@ def decode_attention_streamed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(last_tile, cur_len, q[:, :, 0], k, v)
+    )(last_tile, cur_len, lo, q[:, :, 0], k, v)
     return out[:, :, None, :]
 
 
-def _flash_decode_int8_kernel(lt_ref, cl_ref, q_ref, kq_ref, ks_ref,
+def _flash_decode_int8_kernel(lt_ref, cl_ref, lo_ref, q_ref, kq_ref, ks_ref,
                               vq_ref, vs_ref, out_ref, m_scr, l_scr, acc_scr):
     """Int8-KV variant of `_flash_decode_kernel`: k/v tiles arrive as int8
     (HALF the HBM bytes of the bf16 cache — the decode step's dominant read
@@ -190,7 +196,8 @@ def _flash_decode_int8_kernel(lt_ref, cl_ref, q_ref, kq_ref, ks_ref,
     (H, TT) elementwise multiplies instead of 2·(H, TT, D) upcasts. This is
     the fusion XLA refuses (the scale-multiply runs as a separate full-cache
     pass there — measured 614 vs 862 tok/s, DESIGN.md); here it rides the
-    tile loop for free."""
+    tile loop for free. lo (B,) is the per-row left-pad lower bound (0 for
+    dense layouts; the batched engine's right-aligned rows pass their pad)."""
     b, t = pl.program_id(0), pl.program_id(1)
     n_t = pl.num_programs(1)
     H, D = q_ref.shape[1], q_ref.shape[2]
@@ -201,7 +208,7 @@ def _flash_decode_int8_kernel(lt_ref, cl_ref, q_ref, kq_ref, ks_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(t <= lt_ref[b])
+    @pl.when((t >= lo_ref[b] // TT) & (t <= lt_ref[b]))
     def _():
         q = q_ref[0].astype(jnp.float32)                # (H, D)
         k = kq_ref[0].astype(jnp.float32)               # (H, TT, D) int8→f32
@@ -213,7 +220,7 @@ def _flash_decode_int8_kernel(lt_ref, cl_ref, q_ref, kq_ref, ks_ref,
         ) * scale                                       # (H, TT) f32
         scores = scores * ks_ref[0].astype(jnp.float32)
         pos = t * TT + jax.lax.broadcasted_iota(jnp.int32, (H, TT), 1)
-        valid = pos <= cl_ref[b]
+        valid = (pos >= lo_ref[b]) & (pos <= cl_ref[b])
         scores = jnp.where(valid, scores, -jnp.inf)
         m_prev = m_scr[:, 0:1]                          # (H, 1)
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -243,16 +250,19 @@ def decode_attention_streamed_int8(q: jnp.ndarray,
                                    k_q: jnp.ndarray, k_s: jnp.ndarray,
                                    v_q: jnp.ndarray, v_s: jnp.ndarray,
                                    cur_len: jnp.ndarray,
-                                   interpret: bool | None = None
+                                   interpret: bool | None = None,
+                                   lo: jnp.ndarray | None = None
                                    ) -> jnp.ndarray:
     """Streamed single-token decode attention reading the int8 KV cache.
 
     q: (B, H, 1, D); k_q/v_q: (B, H, T, D) int8 with T % TT == 0;
-    k_s/v_s: (B, H, T) per-position dequant scales; cur_len: (B,).
-    Returns (B, H, 1, D). Matches
+    k_s/v_s: (B, H, T) per-position dequant scales; cur_len: (B,);
+    lo: (B,) optional per-row lower bound (left-padded batched layout) —
+    keys at positions lo[b] <= pos <= cur_len[b] attend. Returns
+    (B, H, 1, D). Matches
     `decode_attention_streamed(q, k_q*k_s[...,None], v_q*v_s[...,None])`
-    while moving half the HBM bytes; tiles past cur_len are never fetched
-    (clamped block index ⇒ DMA skipped), as in the bf16 kernel."""
+    while moving half the HBM bytes; tiles outside [lo, cur_len] are never
+    fetched (clamped block index ⇒ DMA skipped), as in the bf16 kernel."""
     B, H, _, D = q.shape
     T = k_q.shape[2]
     assert T % TT == 0, f"cache length {T} not a multiple of {TT}"
@@ -261,22 +271,26 @@ def decode_attention_streamed_int8(q: jnp.ndarray,
     n_t = T // TT
     cur_len = cur_len.astype(jnp.int32)
     last_tile = jnp.minimum(cur_len // TT, n_t - 1)
+    lo = (jnp.zeros((B,), jnp.int32) if lo is None
+          else jnp.asarray(lo, jnp.int32))
 
-    kv_spec = pl.BlockSpec((1, H, TT, D),
-                           lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b]), 0),
-                           memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, H, TT),
-                          lambda b, t, lt, cl: (b, 0, jnp.minimum(t, lt[b])),
-                          memory_space=pltpu.VMEM)
+    def _kv_idx(b, t, lt, cl, lo):
+        return (b, 0, jnp.clip(t, lo[b] // TT, lt[b]), 0)
+
+    def _s_idx(b, t, lt, cl, lo):
+        return (b, 0, jnp.clip(t, lo[b] // TT, lt[b]))
+
+    kv_spec = pl.BlockSpec((1, H, TT, D), _kv_idx, memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, H, TT), _s_idx, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, n_t),
         in_specs=[
-            pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+            pl.BlockSpec((1, H, D), lambda b, t, lt, cl, lo: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             kv_spec, s_spec, kv_spec, s_spec,
         ],
-        out_specs=pl.BlockSpec((1, H, D), lambda b, t, lt, cl: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, H, D), lambda b, t, lt, cl, lo: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((H, 128), jnp.float32),   # running max (col 0)
@@ -289,7 +303,7 @@ def decode_attention_streamed_int8(q: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(last_tile, cur_len, q[:, :, 0], k_q, k_s, v_q, v_s)
+    )(last_tile, cur_len, lo, q[:, :, 0], k_q, k_s, v_q, v_s)
     return out[:, :, None, :]
 
 

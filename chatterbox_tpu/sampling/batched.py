@@ -72,14 +72,19 @@ def _check_fused_attn(fused_attn: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "t_cap", "max_new_tokens", "cfg_mode"))
+    static_argnames=("hp", "t_cap", "max_new_tokens", "cfg_mode", "kv_int8"))
 def t3_prefill_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                        text_tokens: jnp.ndarray, text_lens: jnp.ndarray,
                        keys,
                        *, t_cap: int, max_new_tokens: int,
-                       cfg_mode: bool = False) -> BatchDecodeState:
+                       cfg_mode: bool = False,
+                       kv_int8: bool = False) -> BatchDecodeState:
     """Run the right-aligned batched prefix; cache allocated at `t_cap`
-    slots (the output token buffer is always (B, max_new_tokens))."""
+    slots (the output token buffer is always (B, max_new_tokens)).
+    kv_int8: int8 KV cache — prefill quantizes through the XLA-dequant
+    path; the decode chunk reads it with the pallas streamed-int8 kernel
+    (half the HBM bytes of the bf16 cache, the dominant batched-step
+    read at the 1000-token serving budget)."""
     cfg = hp.backbone
     B, Ltp = text_tokens.shape
     Lc = t3m.cond_len(hp)
@@ -115,7 +120,8 @@ def t3_prefill_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     slot = jnp.arange(P_pad)[None]                              # (1, P_pad)
     positions = jnp.maximum(slot - pad[:, None], 0)
 
-    cache = bb.KVCache.zeros(cfg, Bp, t_cap, dtype=jnp.bfloat16)
+    cache_cls = bb.KVCacheInt8 if kv_int8 else bb.KVCache
+    cache = cache_cls.zeros(cfg, Bp, t_cap, dtype=jnp.bfloat16)
     # causal + left-pad mask: query q attends key k iff pad[b] <= k <= q
     q_pos = jnp.arange(P_pad)[:, None]
     k_pos = jnp.arange(t_cap)[None, :]
@@ -153,7 +159,11 @@ def t3_decode_chunk_batched(params: dict, hp: T3Config,
     cfg = hp.backbone
     B, max_new = state.tokens.shape
     V = hp.speech_tokens_dict_size
-    t_cap = state.cache.k.shape[3]
+    t_cap = state.cache[0].shape[3]   # k / k_q — works for both cache types
+    # int8 cache ⇒ pallas streamed-int8 attention with the per-row left-pad
+    # lower bound (lo=pad); bf16 stays on XLA mha (the faster bf16 path at
+    # these cache sizes, and the whole-slice kernels lack the lower bound)
+    int8_cache = isinstance(state.cache, bb.KVCacheInt8)
     start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
 
     # normalize sampler fields to (B|1, 1) so they broadcast over (B, V)
@@ -202,7 +212,8 @@ def t3_decode_chunk_batched(params: dict, hp: T3Config,
                    & (k_pos >= s.pad[:, None]))[:, None, None]
         hidden, cache = bb.backbone_apply_unrolled(
             params["backbone"], cfg, emb, pos_rows[:, None], s.cache,
-            slot_now, kv_mask)
+            slot_now, kv_mask, fused_attn=int8_cache,
+            kv_lo=(s.pad if int8_cache else None))
         logits_new = t3m.speech_logits(params, hidden[:, 0]).astype(jnp.float32)
         st = BatchDecodeState(s.step + 1, logits_new, cache, seen, tokens,
                               n, done, keys_next, s.pad, s.prefix_lens)
@@ -216,12 +227,14 @@ def t3_decode_chunk_batched(params: dict, hp: T3Config,
 @functools.partial(jax.jit, static_argnames=("new_t_cap",))
 def grow_cache_batched(state: BatchDecodeState,
                        *, new_t_cap: int) -> BatchDecodeState:
-    """Pad the batched KV cache's time axis (bucketed cache growth)."""
-    k, v = state.cache.k, state.cache.v
-    pad = new_t_cap - k.shape[3]
+    """Pad the batched KV cache's time axis (bucketed cache growth).
+    Works for both KVCache and KVCacheInt8 (every field has time axis 3)."""
+    pad = new_t_cap - state.cache[0].shape[3]
     assert pad >= 0
-    spec = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
-    return state._replace(cache=bb.KVCache(jnp.pad(k, spec), jnp.pad(v, spec)))
+    grown = type(state.cache)(*[
+        jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, pad)) + ((0, 0),) * (f.ndim - 4))
+        for f in state.cache])
+    return state._replace(cache=grown)
 
 
 def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
@@ -230,17 +243,25 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                         *, max_new_tokens: int = 1000, top_k: int = 1000,
                         cfg_mode: bool = False,
                         ignore_eos: bool = False,
-                        fused_attn: bool = False) -> BatchGenResult:
+                        fused_attn: bool = False,
+                        kv_int8: bool = False) -> BatchGenResult:
     """text_tokens: (B, Lt_bucket) left-aligned int32; text_lens: (B,).
     cond fields batched (B, ...). keys: (B,) jax key array — one per row.
-    sp fields: scalar (shared) or (B,) per-request."""
+    sp fields: scalar (shared) or (B,) per-request.
+    kv_int8: int8 KV cache read by the pallas streamed-int8 kernel with the
+    per-row left-pad lower bound — half the attention HBM bytes (opt-in,
+    same quality caveat as the single-stream kv_int8: tools/ab_int8.py)."""
     _check_fused_attn(fused_attn)
     Lc = t3m.cond_len(hp)
     P_pad = Lc + text_tokens.shape[1] + 1
+    t_cap = P_pad + max_new_tokens
+    if kv_int8:
+        from ..ops.pallas_attention import TT
+        t_cap = ((t_cap + TT - 1) // TT) * TT     # tile-align for the kernel
     state = t3_prefill_batched(params, hp, cond, text_tokens, text_lens,
-                               keys, t_cap=P_pad + max_new_tokens,
+                               keys, t_cap=t_cap,
                                max_new_tokens=max_new_tokens,
-                               cfg_mode=cfg_mode)
+                               cfg_mode=cfg_mode, kv_int8=kv_int8)
     state = t3_decode_chunk_batched(params, hp, state, sp,
                                     n_steps=max_new_tokens, top_k=top_k,
                                     cfg_mode=cfg_mode, ignore_eos=ignore_eos)
@@ -255,11 +276,13 @@ def t3_generate_batched_bucketed(params: dict, hp: T3Config,
                                  *, max_new_tokens: int = 1000,
                                  top_k: int = 1000, cfg_mode: bool = False,
                                  ignore_eos: bool = False,
-                                 first_segment: int = 64) -> BatchGenResult:
+                                 first_segment: int = 64,
+                                 kv_int8: bool = False) -> BatchGenResult:
     """Like t3_generate_batched but with doubling decode segments and cache
     growth between them — attention reads O(actual length) instead of
     O(P+max_new) (the dominant batched-step cost at the 1000-token serving
-    default). Token streams are identical; all dispatches are async."""
+    default). Token streams are identical; all dispatches are async.
+    kv_int8 composes: int8 tiles (half the bytes) over the grown cache."""
     segs = []
     left, s = max_new_tokens, first_segment
     while left > 0:
@@ -269,15 +292,23 @@ def t3_generate_batched_bucketed(params: dict, hp: T3Config,
         s *= 2
     Lc = t3m.cond_len(hp)
     P_pad = Lc + text_tokens.shape[1] + 1
+
+    def _cap(tokens: int) -> int:
+        t_cap = P_pad + tokens
+        if kv_int8:
+            from ..ops.pallas_attention import TT
+            t_cap = ((t_cap + TT - 1) // TT) * TT   # tile-align for the kernel
+        return t_cap
+
     state = t3_prefill_batched(params, hp, cond, text_tokens, text_lens,
-                               keys, t_cap=P_pad + segs[0],
+                               keys, t_cap=_cap(segs[0]),
                                max_new_tokens=max_new_tokens,
-                               cfg_mode=cfg_mode)
+                               cfg_mode=cfg_mode, kv_int8=kv_int8)
     cap = segs[0]
     for i, n in enumerate(segs):
         if i > 0:
             cap += n
-            state = grow_cache_batched(state, new_t_cap=P_pad + cap)
+            state = grow_cache_batched(state, new_t_cap=_cap(cap))
         state = t3_decode_chunk_batched(params, hp, state, sp, n_steps=n,
                                         top_k=top_k, cfg_mode=cfg_mode,
                                         ignore_eos=ignore_eos)

@@ -60,18 +60,27 @@ class SlotStates(NamedTuple):
 
 def init_slots(hp: T3Config, n_slots: int, text_bucket: int,
                max_new_tokens: int, t_cap: int = None,
-               cfg: bool = False) -> SlotStates:
+               cfg: bool = False, kv_int8: bool = False) -> SlotStates:
     """t_cap: optional initial cache capacity (slots are LEFT-aligned at
     offset 0, so the cache can start small and grow — grow_slot_cache).
     cfg=True lays out 2 physical cache/logits rows per logical slot
-    (cond rows [0,S), uncond rows [S,2S))."""
+    (cond rows [0,S), uncond rows [S,2S)). kv_int8=True uses the int8 KV
+    cache — decode rounds read it with the pallas streamed-int8 kernel
+    (half the HBM bytes; the slot layout is left-aligned so the kernel's
+    per-row cur_len is all it needs). The cache time axis is tile-aligned
+    here and in grow_slot_cache so the kernel always engages."""
     bcfg = hp.backbone
     Lc = t3m.cond_len(hp)
     t_max = t_cap or (Lc + text_bucket + 1 + max_new_tokens)
     V = hp.speech_tokens_dict_size
     Sp = 2 * n_slots if cfg else n_slots
+    cache_cls = bb.KVCache
+    if kv_int8:
+        from ..ops.pallas_attention import TT
+        t_max = ((t_max + TT - 1) // TT) * TT
+        cache_cls = bb.KVCacheInt8
     return SlotStates(
-        cache=bb.KVCache.zeros(bcfg, Sp, t_max, dtype=jnp.bfloat16),
+        cache=cache_cls.zeros(bcfg, Sp, t_max, dtype=jnp.bfloat16),
         logits=jnp.zeros((Sp, V), jnp.float32),
         seen=jnp.zeros((n_slots, V), jnp.bool_),
         step=jnp.zeros((n_slots,), jnp.int32),
@@ -125,7 +134,9 @@ def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
     x = jax.lax.dynamic_update_slice(x, bos.astype(dt), (0, Lc + text_len, 0))
     prefill_len = Lc + text_len + 1
 
-    mini = bb.KVCache.zeros(cfg, B, P_pad, dtype=state.cache.k.dtype)
+    # prefill into a mini cache of the SAME type as the slot cache (bf16 or
+    # int8+scales), then splice its rows in below
+    mini = type(state.cache).zeros(cfg, B, P_pad, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, P_pad,
                            jnp.full((B,), prefill_len, jnp.int32))
     positions = jnp.broadcast_to(jnp.arange(P_pad)[None], (B, P_pad))
@@ -136,26 +147,28 @@ def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
         hidden, jnp.full((B, 1, 1), prefill_len - 1), axis=1)[:, 0]
     logits0 = t3m.speech_logits(params, last_h).astype(jnp.float32)  # (B, V)
 
-    # install the row(s): K/V prefix at time offset 0 of the slot's cache rows
-    k, v = state.cache.k, state.cache.v
-    kd, vd = k.dtype, v.dtype
-    k = jax.lax.dynamic_update_slice(k, mini.k[:, :1].astype(kd),
-                                     (0, slot, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(v, mini.v[:, :1].astype(vd),
-                                     (0, slot, 0, 0, 0))
+    # install the row(s): K/V prefix at time offset 0 of the slot's cache
+    # rows — every cache field is (L, B, H, T, D|1), so one loop covers both
+    # cache types
+    fields = []
+    for f_all, f_mini in zip(state.cache, mini):
+        fd = f_all.dtype
+        f_all = jax.lax.dynamic_update_slice(
+            f_all, f_mini[:, :1].astype(fd), (0, slot, 0, 0, 0))
+        if cfg_mode:
+            f_all = jax.lax.dynamic_update_slice(
+                f_all, f_mini[:, 1:].astype(fd), (0, Sn + slot, 0, 0, 0))
+        fields.append(f_all)
+    cache_new = type(state.cache)(*fields)
     logits = state.logits.at[slot].set(logits0[0])
     if cfg_mode:
-        k = jax.lax.dynamic_update_slice(k, mini.k[:, 1:].astype(kd),
-                                         (0, Sn + slot, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(v, mini.v[:, 1:].astype(vd),
-                                         (0, Sn + slot, 0, 0, 0))
         logits = logits.at[Sn + slot].set(logits0[1])
     # CFG family seeds the rep-penalty history with the BOS token
     # (matches sampling/decode.py + sampling/batched.py)
     seen0 = (jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
              if cfg_mode else jnp.zeros((V,), jnp.bool_))
     return SlotStates(
-        cache=bb.KVCache(k, v),
+        cache=cache_new,
         logits=logits,
         seen=state.seen.at[slot].set(seen0),
         step=state.step.at[slot].set(0),
@@ -191,8 +204,12 @@ def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
     cfg = hp.backbone
     Sn = state.seen.shape[0]
     V = hp.speech_tokens_dict_size
-    t_max = state.cache.k.shape[3]
+    t_max = state.cache[0].shape[3]   # k / k_q — works for both cache types
     cap = state.tokens.shape[1]
+    # int8 slot cache ⇒ pallas streamed-int8 attention (per-row cur_len;
+    # left-aligned rows need no lower bound). init_slots/grow_slot_cache
+    # keep t_max tile-aligned so the kernel path always engages.
+    fused_attn = fused_attn or isinstance(state.cache, bb.KVCacheInt8)
     start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
     sp = S.SamplerParams(
         temperature=state.temperature[:, None],
@@ -271,12 +288,18 @@ def pack_status(state: SlotStates) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("new_t_cap",))
 def grow_slot_cache(state: SlotStates, *, new_t_cap: int) -> SlotStates:
     """Pad the slot cache's time axis (bucketed growth; rows are
-    left-aligned so existing K/V stay valid)."""
-    k, v = state.cache.k, state.cache.v
-    pad = new_t_cap - k.shape[3]
+    left-aligned so existing K/V stay valid). Works for both KVCache and
+    KVCacheInt8; int8 caps are tile-aligned up so the pallas kernel keeps
+    engaging after growth."""
+    if isinstance(state.cache, bb.KVCacheInt8):
+        from ..ops.pallas_attention import TT
+        new_t_cap = ((new_t_cap + TT - 1) // TT) * TT
+    pad = new_t_cap - state.cache[0].shape[3]
     assert pad >= 0
-    spec = ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
-    return state._replace(cache=bb.KVCache(jnp.pad(k, spec), jnp.pad(v, spec)))
+    grown = type(state.cache)(*[
+        jnp.pad(f, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+        for f in state.cache])
+    return state._replace(cache=grown)
 
 
 class ContinuousTTSServer:
@@ -287,7 +310,7 @@ class ContinuousTTSServer:
     def __init__(self, t3_params, hp: T3Config, n_slots: int = 8,
                  text_bucket: int = 64, max_new_tokens: int = 1000,
                  chunk: int = 16, top_k: int = 1000, seed: int = 0,
-                 s3gen=None, cfg: bool = False):
+                 s3gen=None, cfg: bool = False, kv_int8: bool = False):
         """cfg=True serves the 520M/MTL CFG family: each request occupies a
         cond/uncond physical row pair; text_tokens must arrive SOT/EOT-framed
         (the CFG pipelines' framing); per-request min_p/cfg_weight honored."""
@@ -300,6 +323,9 @@ class ContinuousTTSServer:
         self.top_k = top_k
         self.s3gen = s3gen
         self.cfg = cfg
+        # opt-in int8 slot cache: decode rounds read it with the pallas
+        # streamed-int8 kernel (quality A/B: tools/ab_int8.py)
+        self.kv_int8 = kv_int8
         # bucketed cache: start at one chunk's worth of headroom and grow as
         # the furthest slot advances (host-side upper bounds, no extra syncs)
         Lc = t3m.cond_len(hp)
@@ -308,7 +334,8 @@ class ContinuousTTSServer:
         self._t_cap = min(self._t_full,
                           self._cap_base + max(4 * chunk, 16))
         self.state = init_slots(hp, n_slots, text_bucket, max_new_tokens,
-                                t_cap=self._t_cap, cfg=cfg)
+                                t_cap=self._t_cap, cfg=cfg,
+                                kv_int8=kv_int8)
         self._slot_bound: list = [0] * n_slots   # host upper bound on
                                                  # prefix_len + step per slot
         self._key = jax.random.key(seed)
@@ -530,7 +557,7 @@ class ContinuousTTSServer:
                           self._cap_base + max(4 * self.chunk, 16))
         self.state = init_slots(self.hp, self.n_slots, self.text_bucket,
                                 self.max_new_tokens, t_cap=self._t_cap,
-                                cfg=self.cfg)
+                                cfg=self.cfg, kv_int8=self.kv_int8)
         cond_arr = cond.as_arrays() if hasattr(cond, "as_arrays") else cond
         text = jnp.zeros((1, self.text_bucket), jnp.int32)
         args = (jnp.asarray(1, jnp.int32), jax.random.key(0),
@@ -572,7 +599,7 @@ class ContinuousTTSServer:
                           self._cap_base + max(4 * self.chunk, 16))
         self.state = init_slots(self.hp, self.n_slots, self.text_bucket,
                                 self.max_new_tokens, t_cap=self._t_cap,
-                                cfg=self.cfg)
+                                cfg=self.cfg, kv_int8=self.kv_int8)
         self._slot_req = [None] * self.n_slots
         self._slot_bound = [0] * self.n_slots
         self._pending.clear()

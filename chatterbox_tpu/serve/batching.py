@@ -70,13 +70,17 @@ class BatchDecoder:
 
     def __init__(self, t3_params, hp: T3Config, max_batch: int = 8,
                  max_new_tokens: int = 1000, top_k: int = 1000, seed: int = 0,
-                 cfg: bool = False):
+                 cfg: bool = False, kv_int8: bool = False):
         self.t3_params = t3_params
         self.hp = hp
         self.max_batch = max_batch
         self.max_new_tokens = max_new_tokens
         self.top_k = top_k
         self.cfg = cfg
+        # opt-in int8 KV cache (pallas streamed-int8 attention with the
+        # per-row left-pad bound) — half the attention HBM bytes; same
+        # quality caveat as the single-stream kv_int8 (tools/ab_int8.py)
+        self.kv_int8 = kv_int8
         self._key = jax.random.key(seed)
 
     def _stack_samplers(self, requests: list[TTSRequest]) -> SamplerParams:
@@ -151,13 +155,13 @@ class BatchDecoder:
                 self.t3_params, self.hp, cond, jnp.asarray(text),
                 jnp.asarray(lens, jnp.int32), sp, keys,
                 max_new_tokens=self.max_new_tokens, top_k=self.top_k,
-                cfg_mode=self.cfg)
+                cfg_mode=self.cfg, kv_int8=self.kv_int8)
         else:
             res = t3_generate_batched(
                 self.t3_params, self.hp, cond, jnp.asarray(text),
                 jnp.asarray(lens, jnp.int32), sp, keys,
                 max_new_tokens=self.max_new_tokens, top_k=self.top_k,
-                cfg_mode=self.cfg)
+                cfg_mode=self.cfg, kv_int8=self.kv_int8)
         return (res, real)
 
     def warmup(self, cond, *, max_text_len: int, batch_sizes=None) -> int:

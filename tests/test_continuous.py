@@ -87,6 +87,29 @@ class TestContinuousBatching:
                 srv.results[r.request_id], iso[r.request_id],
                 err_msg=f"request {r.request_id}")
 
+    def test_kv_int8_outputs_match_isolated_runs(self, setup):
+        """kv_int8 slot machine (int8 cache splice at admit + pallas
+        streamed-int8 decode rounds + tile-aligned growth): per-request
+        outputs are unchanged whether a request runs alone or joins a
+        running batch mid-decode."""
+        hp, params, cond = setup
+        reqs = [_req(cond, rid=i, seed=500 + i, n_text=4 + i, max_new=12,
+                     temperature=0.6 + 0.2 * i) for i in range(2)]
+        iso = {}
+        for r in reqs:
+            srv = _server(hp, params, kv_int8=True)
+            srv.submit(r)
+            iso.update(srv.run_until_idle())
+        srv = _server(hp, params, kv_int8=True)
+        srv.submit(reqs[0])
+        srv.step()
+        srv.submit(reqs[1])
+        srv.run_until_idle()
+        for r in reqs:
+            np.testing.assert_array_equal(
+                srv.results[r.request_id], iso[r.request_id],
+                err_msg=f"request {r.request_id}")
+
     def test_continuous_with_vocoding(self, setup):
         """Full continuous serving: tokens AND audio per request."""
         from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, S3GEN_SR

@@ -66,6 +66,55 @@ class TestStreamedDecodeAttention:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=1e-5)
 
+    def test_streamed_lower_bound_matches_mha(self):
+        """Per-row lo (left-padded batched layout): only keys in
+        [lo[b], cur[b]] attend."""
+        from chatterbox_tpu.ops.pallas_attention import (
+            TT, decode_attention_streamed)
+        B, H, D = 3, 4, 16
+        T = 3 * TT
+        key = jax.random.key(6)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (B, H, 1, D))
+        k = jax.random.normal(kk, (B, H, T, D))
+        v = jax.random.normal(kv, (B, H, T, D))
+        # row 0 dense; row 1 pad inside tile 0; row 2 pad past a full tile
+        lo = jnp.array([0, 17, TT + 5], jnp.int32)
+        cur = jnp.array([TT - 1, TT + 40, 2 * TT + 9], jnp.int32)
+        pos = jnp.arange(T)[None, :]
+        ref_mask = ((pos >= lo[:, None])
+                    & (pos <= cur[:, None]))[:, None, None]
+        ref = nn.mha(q, k, v, mask=ref_mask)
+        ours = decode_attention_streamed(q, k, v, cur, interpret=True, lo=lo)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_int8_streamed_lower_bound_matches_dequant(self):
+        from chatterbox_tpu.ops.pallas_attention import (
+            TT, decode_attention_streamed_int8)
+        from chatterbox_tpu.models.t3.backbone import quantize_kv
+        B, H, D = 2, 4, 16
+        T = 2 * TT
+        key = jax.random.key(7)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (B, H, 1, D))
+        k = jax.random.normal(kk, (B, H, T, D)) * 0.3
+        v = jax.random.normal(kv, (B, H, T, D)) * 0.3
+        k_q, k_s = quantize_kv(k)
+        v_q, v_s = quantize_kv(v)
+        lo = jnp.array([9, TT + 3], jnp.int32)
+        cur = jnp.array([TT + 6, 2 * TT - 1], jnp.int32)
+        deq_k = k_q.astype(jnp.float32) * k_s
+        deq_v = v_q.astype(jnp.float32) * v_s
+        pos = jnp.arange(T)[None, :]
+        ref_mask = ((pos >= lo[:, None])
+                    & (pos <= cur[:, None]))[:, None, None]
+        ref = nn.mha(q, deq_k, deq_v, mask=ref_mask)
+        ours = decode_attention_streamed_int8(
+            q, k_q, k_s[..., 0], v_q, v_s[..., 0], cur, interpret=True, lo=lo)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_int8_streamed_matches_dequant(self):
         """Int8-KV kernel == bf16 math on the dequantized cache (the scales
         fold into scores/weights inside the kernel; reference dequantizes

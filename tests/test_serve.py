@@ -149,6 +149,61 @@ class TestBatchedDecode:
 
 
 class TestServingLoop:
+    def test_kv_int8_batched_matches_isolated(self, setup_cfg):
+        """Batched int8-KV decode (pallas streamed-int8 kernel with the
+        per-row left-pad lower bound) must reproduce each request decoded
+        alone with kv_int8 — same layout ⇒ same quantization ⇒ identical
+        token streams."""
+        hp, params = setup_cfg
+        B = 3
+        rng = np.random.default_rng(4)
+        text = np.zeros((B, 16), np.int32)
+        lens = np.array([6, 11, 4], np.int32)
+        for i in range(B):
+            text[i, : lens[i]] = rng.integers(1, hp.text_tokens_dict_size,
+                                              lens[i])
+        sp = SamplerParams.make(cfg_weight=0.5, top_p=0.95,
+                                repetition_penalty=1.2)
+        keys = jax.random.split(jax.random.key(13), B)
+        res = t3_generate_batched(params, hp, _cond(hp, B),
+                                  jnp.asarray(text), jnp.asarray(lens), sp,
+                                  keys, max_new_tokens=8, cfg_mode=True,
+                                  kv_int8=True)
+        for i in range(B):
+            r = t3_generate_batched(params, hp, _cond_row(hp, i),
+                                    jnp.asarray(text[i : i + 1]),
+                                    jnp.asarray(lens[i : i + 1]), sp,
+                                    keys[i : i + 1], max_new_tokens=8,
+                                    cfg_mode=True, kv_int8=True)
+            np.testing.assert_array_equal(np.asarray(res.tokens)[i],
+                                          np.asarray(r.tokens)[0],
+                                          err_msg=f"row {i}")
+
+    def test_kv_int8_bucketed_matches_oneshot(self, setup):
+        """Bucketed cache growth composes with the int8 cache: identical
+        token streams to the one-shot int8 loop (same per-step RNG chain,
+        tiles past the valid region contribute nothing)."""
+        from chatterbox_tpu.sampling.batched import (
+            t3_generate_batched_bucketed)
+        hp, params = setup
+        B = 2
+        text = jnp.tile(jnp.arange(1, 8, dtype=jnp.int32)[None], (B, 1))
+        text = jnp.pad(text, ((0, 0), (0, 9)))
+        lens = jnp.array([7, 5], jnp.int32)
+        sp = SamplerParams.make(cfg_weight=0.0, top_p=0.9)
+        keys = jax.random.split(jax.random.key(17), B)
+        one = t3_generate_batched(params, hp, _cond(hp, B), text, lens, sp,
+                                  keys, max_new_tokens=12, top_k=40,
+                                  kv_int8=True)
+        buck = t3_generate_batched_bucketed(params, hp, _cond(hp, B), text,
+                                            lens, sp, keys,
+                                            max_new_tokens=12, top_k=40,
+                                            first_segment=4, kv_int8=True)
+        np.testing.assert_array_equal(np.asarray(one.tokens),
+                                      np.asarray(buck.tokens))
+        np.testing.assert_array_equal(np.asarray(one.n_tokens),
+                                      np.asarray(buck.n_tokens))
+
     def test_batch_decoder_and_loop(self, setup):
         hp, params = setup
         dec = BatchDecoder(params, hp, max_batch=4, max_new_tokens=6, top_k=40)

@@ -61,13 +61,14 @@ class BatchDecodeState(NamedTuple):
 
 def _check_fused_attn(fused_attn: bool):
     if fused_attn:
-        # the pallas decode kernels apply only the pos<=cur upper bound; this
-        # loop's RIGHT-ALIGNED prefixes also need the k>=pad lower bound, so
-        # the kernels would attend the left-pad garbage slots of shorter rows
+        # bf16 pallas attention loses to XLA mha at these cache sizes
+        # (DESIGN.md); the kernel path that DOES pay here is the int8-KV
+        # one — pass kv_int8=True instead (the streamed kernels take the
+        # per-row left-pad lower bound since r3)
         raise ValueError(
-            "fused_attn is not supported in the left-padded batched decode "
-            "loop (the pallas kernels lack lower-bound masking); XLA "
-            "attention is also the faster path at these cache sizes")
+            "fused_attn is not a supported knob on the batched decode loop "
+            "(XLA attention is the faster bf16 path at these cache sizes); "
+            "for the pallas int8-KV kernel pass kv_int8=True")
 
 
 @functools.partial(

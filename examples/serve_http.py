@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--port", type=int, default=8321)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--nano", action="store_true")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache in the batched decode "
+                         "(quality A/B: tools/ab_int8.py)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the serving program grid")
     args = ap.parse_args()
@@ -66,7 +69,7 @@ def main():
         return Voice(model.conds.t3, model.conds.gen)
 
     decoder = BatchDecoder(model.t3_params, model.hp,
-                           max_batch=args.max_batch)
+                           max_batch=args.max_batch, kv_int8=args.kv_int8)
     server = TTSHTTPServer(
         decoder, model.s3gen, model.tokenizer,
         {"default": Voice(model.conds.t3, model.conds.gen)},

@@ -71,7 +71,8 @@ def init_slots(hp: T3Config, n_slots: int, text_bucket: int,
     here and in grow_slot_cache so the kernel always engages."""
     bcfg = hp.backbone
     Lc = t3m.cond_len(hp)
-    t_max = t_cap or (Lc + text_bucket + 1 + max_new_tokens)
+    # CFG prefixes carry the reference's double BOS (see admit)
+    t_max = t_cap or (Lc + text_bucket + (2 if cfg else 1) + max_new_tokens)
     V = hp.speech_tokens_dict_size
     Sp = 2 * n_slots if cfg else n_slots
     cache_cls = bb.KVCache
@@ -112,7 +113,11 @@ def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
     cfg = hp.backbone
     Lc = t3m.cond_len(hp)
     Ltp = text_tokens.shape[1]
-    P_pad = Lc + Ltp + 1
+    # CFG prefix is [cond | text | BOS | BOS] — the reference's shipped loop
+    # feeds the BOS embed twice (ref: t3.py:258-268 + t3.py:305-313); Turbo
+    # feeds one (see sampling/decode.py for the full note)
+    n_bos = 2 if cfg_mode else 1
+    P_pad = Lc + Ltp + n_bos
     V = hp.speech_tokens_dict_size
     Sn = state.seen.shape[0]
     B = 2 if cfg_mode else 1
@@ -128,11 +133,12 @@ def admit(params: dict, hp: T3Config, state: SlotStates, slot: jnp.ndarray,
     bos = t3m.speech_embed_token(
         params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))
+    bos = jnp.concatenate([bos] * n_bos, axis=1)
     dt = params["speech_emb"]["w"].dtype
     x = jnp.concatenate([ce.astype(dt), te.astype(dt),
                          jnp.zeros_like(bos, dt)], axis=1)
     x = jax.lax.dynamic_update_slice(x, bos.astype(dt), (0, Lc + text_len, 0))
-    prefill_len = Lc + text_len + 1
+    prefill_len = Lc + text_len + n_bos
 
     # prefill into a mini cache of the SAME type as the slot cache (bf16 or
     # int8+scales), then splice its rows in below
@@ -302,18 +308,47 @@ def grow_slot_cache(state: SlotStates, *, new_t_cap: int) -> SlotStates:
     return state._replace(cache=grown)
 
 
+class _SlotStream:
+    """Per-slot streaming state: a StreamingVocoder fed at fixed token-count
+    boundaries. The feed schedule is a pure function of the row's token
+    stream (feed every `stream_chunk` VALID tokens, final feed = remainder
+    + 3 silence tokens), so a request's chunk byte-stream is identical
+    whether it runs solo or beside concurrent streams (rows are already
+    batchmate-invariant — test_continuous.py)."""
+
+    __slots__ = ("voc", "cb", "fed_raw", "buf")
+
+    def __init__(self, voc, cb):
+        self.voc = voc
+        self.cb = cb              # cb(chunk: np.ndarray, final: bool)
+        self.fed_raw = 0          # raw tokens consumed from the slot row
+        self.buf = np.zeros((0,), np.int32)   # valid tokens awaiting a feed
+
+
 class ContinuousTTSServer:
     """Host-side serving loop over the slot machine: submit anytime; requests
     join at the next chunk boundary and are harvested the moment their row
-    finishes — no batch drain."""
+    finishes — no batch drain.
+
+    Streaming requests (`submit(req, on_chunk=...)`) additionally get their
+    audio pushed chunk-by-chunk WHILE their slot decodes: each round's status
+    snapshot already carries every row's tokens (pack_status), so newly
+    decoded tokens feed a per-request StreamingVocoder with no extra decode
+    sync. N streaming clients share one batched decode instead of
+    serializing the device (the reference serves one request at a time,
+    total — ref: gradio_tts_app.py:90-93)."""
 
     def __init__(self, t3_params, hp: T3Config, n_slots: int = 8,
                  text_bucket: int = 64, max_new_tokens: int = 1000,
                  chunk: int = 16, top_k: int = 1000, seed: int = 0,
-                 s3gen=None, cfg: bool = False, kv_int8: bool = False):
+                 s3gen=None, cfg: bool = False, kv_int8: bool = False,
+                 stream_chunk: int = 25):
         """cfg=True serves the 520M/MTL CFG family: each request occupies a
         cond/uncond physical row pair; text_tokens must arrive SOT/EOT-framed
-        (the CFG pipelines' framing); per-request min_p/cfg_weight honored."""
+        (the CFG pipelines' framing); per-request min_p/cfg_weight honored.
+
+        stream_chunk: token granularity of streaming feeds (25 tokens = 1 s
+        of audio, matching the pipelines' generate_stream default)."""
         self.t3_params = t3_params
         self.hp = hp
         self.n_slots = n_slots
@@ -323,13 +358,14 @@ class ContinuousTTSServer:
         self.top_k = top_k
         self.s3gen = s3gen
         self.cfg = cfg
+        self.stream_chunk = stream_chunk
         # opt-in int8 slot cache: decode rounds read it with the pallas
         # streamed-int8 kernel (quality A/B: tools/ab_int8.py)
         self.kv_int8 = kv_int8
         # bucketed cache: start at one chunk's worth of headroom and grow as
         # the furthest slot advances (host-side upper bounds, no extra syncs)
         Lc = t3m.cond_len(hp)
-        self._cap_base = Lc + text_bucket + 1
+        self._cap_base = Lc + text_bucket + (2 if cfg else 1)
         self._t_full = self._cap_base + max_new_tokens
         self._t_cap = min(self._t_full,
                           self._cap_base + max(4 * chunk, 16))
@@ -338,9 +374,12 @@ class ContinuousTTSServer:
                                 kv_int8=kv_int8)
         self._slot_bound: list = [0] * n_slots   # host upper bound on
                                                  # prefix_len + step per slot
+        self._fresh: set = set()   # slots admitted AFTER the lagged status
+                                   # snapshot was captured (see serve_round)
         self._key = jax.random.key(seed)
-        self._pending: list = []            # (request, ) FIFO
+        self._pending: list = []            # (request, on_chunk) FIFO
         self._slot_req: list = [None] * n_slots
+        self._slot_stream: list = [None] * n_slots   # _SlotStream | None
         self.results: dict = {}             # request_id -> np token array
         self.wavs: dict = {}                # request_id -> waveform (if vocoding)
         self._voc_pending = None            # (request_ids, dispatch handle)
@@ -348,9 +387,28 @@ class ContinuousTTSServer:
         self._lagged = None                 # serve_round's deferred status
 
     # ------------------------------------------------------------------
-    def submit(self, req) -> None:
-        """req: serve.batching.TTSRequest (turbo framing)."""
-        self._pending.append(req)
+    def submit(self, req, on_chunk=None) -> None:
+        """req: serve.batching.TTSRequest (turbo framing).
+
+        on_chunk (optional): makes this a STREAMING request — a callable
+        (chunk: float32 np.ndarray, final: bool) invoked from the serving
+        loop as the request's audio is synthesized; chunks arrive every
+        `stream_chunk` decoded tokens (~1 s of audio each at the default).
+        The final call carries final=True (its chunk may be empty). Requires
+        an s3gen engine, a req.ref voice bundle, and the Turbo/Nano family
+        (cfg=False: the CFG family's SOS/EOS slice semantics are not
+        progressive — ref: tts.py:260)."""
+        if on_chunk is not None:
+            if self.s3gen is None:
+                raise ValueError("streaming requests need an s3gen engine")
+            if self.cfg:
+                raise ValueError(
+                    "streaming is Turbo/Nano-only: the CFG family's "
+                    "SOS/EOS token slicing cannot be applied progressively")
+            if getattr(req, "ref", None) is None:
+                raise ValueError("streaming requests need req.ref "
+                                 "(the voice's S3Gen RefDict)")
+        self._pending.append((req, on_chunk))
 
     def _admit_pending(self):
         for slot in range(self.n_slots):
@@ -358,7 +416,7 @@ class ContinuousTTSServer:
                 break
             if self._slot_req[slot] is not None:
                 continue
-            req = self._pending.pop(0)
+            req, on_chunk = self._pending.pop(0)
             ids = np.asarray(req.text_tokens).reshape(-1)[: self.text_bucket]
             text = np.zeros((1, self.text_bucket), np.int32)
             text[0, : len(ids)] = ids
@@ -385,7 +443,20 @@ class ContinuousTTSServer:
                 cfg_mode=self.cfg,
             )
             self._slot_req[slot] = req
-            self._slot_bound[slot] = (t3m.cond_len(self.hp) + len(ids) + 1)
+            self._fresh.add(slot)
+            self._slot_bound[slot] = (t3m.cond_len(self.hp) + len(ids)
+                                      + (2 if self.cfg else 1))
+            if on_chunk is not None:
+                from ..serve.streaming import StreamingVocoder
+                # seed-derived vocoder key: the stream's audio is a pure
+                # function of the request (same derivation as the batched
+                # vocode path), independent of batchmates
+                if req.seed is not None:
+                    vk = jax.random.fold_in(jax.random.key(req.seed), 1)
+                else:
+                    self._key, vk = jax.random.split(self._key)
+                self._slot_stream[slot] = _SlotStream(
+                    StreamingVocoder(self.s3gen, req.ref, vk), on_chunk)
 
     def _flush_vocode(self):
         """Fetch the previous round's batched vocode (its compute overlapped
@@ -397,22 +468,69 @@ class ContinuousTTSServer:
         for rid, w in zip(rids, self.s3gen.inference_batch_fetch(handle)):
             self.wavs[rid] = w
 
-    def _harvest(self, status: np.ndarray = None):
+    def _stream_feed(self, done, steps, tokens, skip=()):
+        """Advance every in-flight stream: pull the slot's newly decoded
+        tokens out of this round's status snapshot (already fetched — no
+        extra sync) and feed the request's vocoder one `stream_chunk` block
+        at a time. Blocks of a DONE row are fed by _stream_finish in the
+        same harvest, so the feed schedule — hence the chunk byte-stream —
+        is a pure function of the row's token stream."""
+        for i in range(self.n_slots):
+            st = self._slot_stream[i]
+            if st is None or self._slot_req[i] is None or i in skip:
+                continue
+            avail = int(steps[i])
+            if avail > st.fed_raw:
+                raw = tokens[i, st.fed_raw: avail]
+                st.fed_raw = avail
+                st.buf = np.concatenate([st.buf,
+                                         raw[raw < 6561].astype(np.int32)])
+            if done[i]:
+                continue
+            while len(st.buf) >= self.stream_chunk:
+                blk, st.buf = (st.buf[: self.stream_chunk],
+                               st.buf[self.stream_chunk:])
+                audio = st.voc.feed(blk)
+                if len(audio):
+                    st.cb(audio, False)
+
+    def _stream_finish(self, st: _SlotStream):
+        """Retire a finished stream: drain whole chunks, then the final feed
+        (remainder + 3 silence tokens, ref: tts_turbo.py:308-311)."""
+        from ..models.s3gen.model import SIL_TOKEN
+        while len(st.buf) >= self.stream_chunk:
+            blk, st.buf = (st.buf[: self.stream_chunk],
+                           st.buf[self.stream_chunk:])
+            audio = st.voc.feed(blk)
+            if len(audio):
+                st.cb(audio, False)
+        tail = np.concatenate([st.buf,
+                               np.full(3, SIL_TOKEN, np.int32)])
+        st.cb(st.voc.feed(tail, final=True), True)
+
+    def _harvest(self, status: np.ndarray = None, skip=()):
         """Retire finished rows. `status` is a pack_status snapshot (possibly
         one round stale — done rows' step/tokens no longer change, so a lagged
-        snapshot harvests identically); without one, fetch fresh."""
+        snapshot harvests identically); without one, fetch fresh.
+
+        skip: slots admitted AFTER the snapshot was captured — the snapshot
+        still carries the slot's PREVIOUS occupant (its done flag and token
+        row), so acting on it would retire/stream-feed the new request with
+        the old request's tokens. serve_round passes the fresh-admit set."""
         if status is None:
             status = np.asarray(pack_status(self.state))
         Sn = self.n_slots
         done = status[:Sn].astype(bool)
         active = status[Sn: 2 * Sn].astype(bool)
-        finished = [i for i in range(self.n_slots)
-                    if active[i] and done[i] and self._slot_req[i] is not None]
-        self._flush_vocode()
-        if not finished:
-            return []
         steps = status[2 * Sn: 3 * Sn]
         tokens = status[3 * Sn:].reshape(Sn, -1)
+        finished = [i for i in range(self.n_slots)
+                    if active[i] and done[i] and i not in skip
+                    and self._slot_req[i] is not None]
+        self._flush_vocode()
+        self._stream_feed(done, steps, tokens, skip=skip)
+        if not finished:
+            return []
         out, voc_rows, voc_refs, voc_keys, voc_rids = [], [], [], [], []
         for i in finished:
             req = self._slot_req[i]
@@ -422,7 +540,11 @@ class ContinuousTTSServer:
                 t = drop_invalid_tokens_sliced(t)
             t = t[t < 6561]                       # strip EOS/specials
             self.results[req.request_id] = t
-            if self.s3gen is not None and getattr(req, "ref", None) is not None:
+            st = self._slot_stream[i]
+            if st is not None:
+                self._stream_finish(st)
+                self._slot_stream[i] = None
+            elif self.s3gen is not None and getattr(req, "ref", None) is not None:
                 voc_rows.append(t if len(t) else np.zeros((1,), np.int32))
                 voc_refs.append(req.ref)
                 self._key, k = jax.random.split(self._key)
@@ -477,7 +599,9 @@ class ContinuousTTSServer:
         Returns the request_ids completed this round."""
         if not self._dispatch_round():
             return []
-        return self._harvest()
+        out = self._harvest()      # fresh snapshot (fetched post-admit)
+        self._fresh.clear()
+        return out
 
     def serve_round(self) -> bool:
         """One overlapped scheduling round for an external driver (the
@@ -493,8 +617,13 @@ class ContinuousTTSServer:
         and every result (and wav, when vocoding in-loop) is materialized."""
         status = pack_status(self.state) if self._dispatch_round() else None
         if self._lagged is not None:
-            self._harvest(np.asarray(self._lagged))
-        self._lagged = status
+            # skip slots whose occupant was admitted after the lagged
+            # snapshot: the snapshot still shows the slot's PREVIOUS
+            # occupant, and harvesting it would hand the new request the
+            # old one's tokens (hit when a slot is reused back-to-back)
+            self._harvest(np.asarray(self._lagged), skip=self._fresh)
+        self._lagged = status       # captured post-admit: covers everyone
+        self._fresh = set()
         idle = (status is None and not self._pending
                 and all(r is None for r in self._slot_req))
         if idle:
@@ -601,7 +730,9 @@ class ContinuousTTSServer:
                                 self.max_new_tokens, t_cap=self._t_cap,
                                 cfg=self.cfg, kv_int8=self.kv_int8)
         self._slot_req = [None] * self.n_slots
+        self._slot_stream = [None] * self.n_slots
         self._slot_bound = [0] * self.n_slots
+        self._fresh = set()
         self._pending.clear()
         self.results.clear()
         self.wavs.clear()

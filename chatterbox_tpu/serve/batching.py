@@ -334,12 +334,19 @@ class ContinuousServingLoop:
         self.on_result = on_result
         self.s3gen = server.s3gen
         self.idle_wait_s = idle_wait_s
-        self._q: "queue.Queue[TTSRequest]" = queue.Queue()
+        self._q: "queue.Queue[tuple]" = queue.Queue()   # (req, on_chunk|None)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     def submit(self, req: TTSRequest):
-        self._q.put(req)
+        self._q.put((req, None))
+
+    def submit_stream(self, req: TTSRequest, on_chunk) -> None:
+        """Submit a STREAMING request: on_chunk(chunk, final) fires from the
+        serving thread as the request's audio is synthesized, while its
+        slot-mates keep decoding — N streaming clients share one batched
+        decode (sampling/continuous.py submit docstring for constraints)."""
+        self._q.put((req, on_chunk))
 
     def start(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -354,14 +361,15 @@ class ContinuousServingLoop:
         """Move queued requests into the slot machine's pending list. Blocks
         briefly only when the device is idle — a busy loop polls for free."""
         try:
-            self.server.submit(
-                self._q.get(timeout=self.idle_wait_s) if block
-                else self._q.get_nowait())
+            req, cb = (self._q.get(timeout=self.idle_wait_s) if block
+                       else self._q.get_nowait())
+            self.server.submit(req, on_chunk=cb)
         except queue.Empty:
             return
         while True:
             try:
-                self.server.submit(self._q.get_nowait())
+                req, cb = self._q.get_nowait()
+                self.server.submit(req, on_chunk=cb)
             except queue.Empty:
                 return
 

@@ -110,6 +110,41 @@ class TestContinuousBatching:
                 srv.results[r.request_id], iso[r.request_id],
                 err_msg=f"request {r.request_id}")
 
+    def test_kv_int8_grow_crosses_tile_boundary(self, setup):
+        """grow_slot_cache must actually PAD the int8 cache (+scales): tiny
+        budgets tile-align every capacity to the same 256-slot cache, so the
+        r3 suite never padded int8 bytes (advisor finding). A budget past
+        TT=256 forces a 256→512 grow mid-decode; parity solo vs staggered
+        proves the padded region contributes nothing."""
+        from chatterbox_tpu.ops.pallas_attention import TT
+        hp, params, cond = setup
+        N = TT + 8
+        reqs = [_req(cond, rid=i, seed=700 + i, n_text=4 + i, max_new=N,
+                     temperature=0.8) for i in range(2)]
+        iso = {}
+        for r in reqs:
+            srv = ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                                      max_new_tokens=N, chunk=32, top_k=40,
+                                      kv_int8=True)
+            assert srv.state.cache[0].shape[3] == TT   # starts at one tile
+            srv.submit(r)
+            iso.update(srv.run_until_idle())
+            assert srv.state.cache[0].shape[3] >= 2 * TT  # grow happened
+        srv = ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                                  max_new_tokens=N, chunk=32, top_k=40,
+                                  kv_int8=True)
+        srv.submit(reqs[0])
+        srv.step()
+        srv.submit(reqs[1])
+        srv.run_until_idle()
+        for r in reqs:
+            np.testing.assert_array_equal(
+                srv.results[r.request_id], iso[r.request_id],
+                err_msg=f"request {r.request_id}")
+            # the rows must have decoded past the tile boundary for the
+            # grow to matter (EOS would shorten them)
+            assert len(iso[r.request_id]) > TT - 64
+
     def test_continuous_with_vocoding(self, setup):
         """Full continuous serving: tokens AND audio per request."""
         from chatterbox_tpu.models.s3gen.model import S3GenEngine, s3gen_init, S3GEN_SR
@@ -279,6 +314,201 @@ class TestContinuousServingLoop:
         assert [rid for rid, _, _ in ready] == [1]
         assert ready[0][2] is not None
         assert not srv.results and not srv.wavs and not srv._await_wav
+
+
+class TestStaleSlotReuse:
+    """Regression: serve_round harvests from a ONE-ROUND-STALE snapshot; a
+    request admitted into a just-freed slot before that harvest must NOT be
+    retired (or stream-fed) with the slot's previous occupant's tokens.
+    Trigger: retire A, then submit B so it reuses A's slot while the lagged
+    snapshot still carries A's done flag and token row."""
+
+    def _drive(self, srv, reqs_then, stream_cb=None):
+        """Submit reqs_then[0], run serve_round until it retires, then
+        submit the rest immediately (slot reuse within one round)."""
+        first, rest = reqs_then[0], reqs_then[1:]
+        srv.submit(first) if stream_cb is None else srv.submit(
+            first, on_chunk=stream_cb[0])
+        for _ in range(100):
+            srv.serve_round()
+            if first.request_id in srv.results:
+                break
+        assert first.request_id in srv.results
+        for i, r in enumerate(rest):
+            srv.submit(r) if stream_cb is None else srv.submit(
+                r, on_chunk=stream_cb[1 + i])
+        while srv.serve_round():
+            pass
+        return srv.results
+
+    def test_reused_slot_gets_its_own_tokens(self, setup):
+        hp, params, cond = setup
+        one_slot = lambda: ContinuousTTSServer(
+            params, hp, n_slots=1, text_bucket=16, max_new_tokens=8,
+            chunk=4, top_k=40)
+        a = _req(cond, rid=1, seed=810, max_new=4)
+        b = _req(cond, rid=2, seed=811, max_new=8)
+        res = self._drive(one_slot(), [a, b])
+        iso = one_slot()
+        iso.submit(_req(cond, rid=2, seed=811, max_new=8))
+        iso.run_until_idle()
+        # without the fresh-slot skip, rid 2 is retired instantly with
+        # rid 1's stale token row
+        np.testing.assert_array_equal(res[2], iso.results[2])
+
+    def test_reused_slot_stream_gets_its_own_audio(self, setup):
+        from chatterbox_tpu.models.s3gen.model import (S3GenEngine,
+                                                       s3gen_init, S3GEN_SR)
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        hp, params, cond = setup
+        eng = S3GenEngine(s3gen_init(jax.random.key(2), meanflow=True,
+                                     tok_cfg=S3TokenizerConfig.tiny_test(),
+                                     dims=FlowDims.tiny_test(),
+                                     hift_base=32),
+                          meanflow=True, tok_cfg=S3TokenizerConfig.tiny_test(),
+                          dims=FlowDims.tiny_test(), n_timesteps=2)
+        rng = np.random.default_rng(9)
+        ref = eng.embed_ref(
+            (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+            S3GEN_SR)
+        mk = lambda: ContinuousTTSServer(params, hp, n_slots=1,
+                                         text_bucket=16, max_new_tokens=8,
+                                         chunk=4, top_k=40, s3gen=eng,
+                                         stream_chunk=4)
+        chunks_a, chunks_b = [], []
+        a = _req(cond, rid=1, seed=820, max_new=4)
+        a.ref = ref
+        b = _req(cond, rid=2, seed=821, max_new=8)
+        b.ref = ref
+        self._drive(mk(), [a, b],
+                    stream_cb=[lambda c, f: chunks_a.append((c, f)),
+                               lambda c, f: chunks_b.append((c, f))])
+        solo_b = []
+        iso = mk()
+        bb = _req(cond, rid=2, seed=821, max_new=8)
+        bb.ref = ref
+        iso.submit(bb, on_chunk=lambda c, f: solo_b.append((c, f)))
+        iso.run_until_idle()
+        assert len(chunks_b) == len(solo_b) > 0
+        for (c1, f1), (c2, f2) in zip(chunks_b, solo_b):
+            assert f1 == f2
+            np.testing.assert_array_equal(c1, c2)
+
+
+class TestConcurrentStreaming:
+    """Streaming requests ride the slot machine: N streams share one
+    batched decode, and each request's chunk byte-stream is identical to
+    the same request run solo (the round-4 VERDICT done-criterion)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from chatterbox_tpu.models.s3gen.model import (S3GenEngine,
+                                                       s3gen_init, S3GEN_SR)
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(2), meanflow=True,
+                                     tok_cfg=tok_cfg, dims=dims,
+                                     hift_base=32),
+                          meanflow=True, tok_cfg=tok_cfg, dims=dims,
+                          n_timesteps=2)
+        rng = np.random.default_rng(9)
+        ref = eng.embed_ref(
+            (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+            S3GEN_SR)
+        return eng, ref
+
+    def _run(self, hp, params, cond, eng, ref, seeds, max_new=14):
+        srv = ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                                  max_new_tokens=max_new, chunk=4, top_k=40,
+                                  s3gen=eng, stream_chunk=5)
+        chunks = {s: [] for s in seeds}
+        for s in seeds:
+            r = _req(cond, rid=s, seed=s, max_new=max_new)
+            r.ref = ref
+            srv.submit(r, on_chunk=lambda c, f, s=s: chunks[s].append((c, f)))
+        srv.run_until_idle()
+        return chunks, srv
+
+    def test_streams_byte_identical_to_solo(self, setup, engine):
+        """3 concurrent streams: every request's (chunk, final) sequence is
+        byte-identical to its solo run — chunk boundaries included."""
+        hp, params, cond = setup
+        eng, ref = engine
+        solos = {s: self._run(hp, params, cond, eng, ref, [s])[0][s]
+                 for s in (71, 72, 73)}
+        conc, srv = self._run(hp, params, cond, eng, ref, [71, 72, 73])
+        for s, solo in solos.items():
+            assert len(conc[s]) == len(solo) > 0, s
+            for (c1, f1), (c2, f2) in zip(solo, conc[s]):
+                assert f1 == f2
+                np.testing.assert_array_equal(c1, c2)
+        # exactly one final per stream, as the last callback
+        for s in conc:
+            finals = [f for _, f in conc[s]]
+            assert finals[-1] and sum(finals) == 1
+
+    def test_stream_audio_matches_tokens(self, setup, engine):
+        """Concatenated stream covers every valid token (+3 silence pad):
+        total samples == (n_valid + 3) * 2 * 480."""
+        hp, params, cond = setup
+        eng, ref = engine
+        chunks, srv = self._run(hp, params, cond, eng, ref, [81])
+        total = sum(c.size for c, _ in chunks[81])
+        n_valid = len(srv.results[81])
+        assert total == (n_valid + 3) * 2 * 480
+        assert all(np.isfinite(c).all() for c, _ in chunks[81])
+
+    def test_mixed_stream_and_batch_traffic(self, setup, engine):
+        """A streaming request and plain requests share the slot machine;
+        the plain requests' tokens are unchanged by the streaming slotmate."""
+        hp, params, cond = setup
+        eng, ref = engine
+        srv = ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                                  max_new_tokens=10, chunk=4, top_k=40,
+                                  s3gen=eng, stream_chunk=5)
+        iso = ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                                  max_new_tokens=10, chunk=4, top_k=40,
+                                  s3gen=eng, stream_chunk=5)
+        got = []
+        sreq = _req(cond, rid=1, seed=91, max_new=10)
+        sreq.ref = ref
+        srv.submit(sreq, on_chunk=lambda c, f: got.append((c, f)))
+        srv.submit(_req(cond, rid=2, seed=92, max_new=8))
+        srv.run_until_idle()
+        iso.submit(_req(cond, rid=2, seed=92, max_new=8))
+        iso.run_until_idle()
+        np.testing.assert_array_equal(srv.results[2], iso.results[2])
+        assert got and got[-1][1]
+
+    def test_stream_requires_ref_and_engine(self, setup, engine):
+        hp, params, cond = setup
+        eng, ref = engine
+        srv = ContinuousTTSServer(params, hp, n_slots=2, text_bucket=16,
+                                  max_new_tokens=8, chunk=4, s3gen=eng)
+        with pytest.raises(ValueError, match="ref"):
+            srv.submit(_req(cond, rid=1, seed=1), on_chunk=lambda c, f: None)
+        bare = ContinuousTTSServer(params, hp, n_slots=2, text_bucket=16,
+                                   max_new_tokens=8, chunk=4)
+        r = _req(cond, rid=1, seed=1)
+        r.ref = ref
+        with pytest.raises(ValueError, match="s3gen"):
+            bare.submit(r, on_chunk=lambda c, f: None)
+
+    def test_cfg_family_stream_rejected(self, setup, engine):
+        """The CFG family's SOS/EOS slice is not progressive — streaming
+        submits must fail loudly, not produce silently-different audio."""
+        hp, params, cond = setup
+        eng, ref = engine
+        srv = ContinuousTTSServer(params, hp, n_slots=2, text_bucket=16,
+                                  max_new_tokens=8, chunk=4, s3gen=eng,
+                                  cfg=True)
+        r = _req(cond, rid=1, seed=1)
+        r.ref = ref
+        with pytest.raises(ValueError, match="CFG"):
+            srv.submit(r, on_chunk=lambda c, f: None)
 
 
 class TestContinuousCFG:

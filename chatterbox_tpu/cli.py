@@ -266,7 +266,7 @@ def _cmd_serve(args):
         server.warmup()
     server.start()
     print(f"serving on http://{server.host}:{server.port}  "
-          f"(POST /tts [+stream], GET /voices /healthz /metrics)")
+          f"(POST /tts [+stream] /vc /voices, GET /voices /healthz /metrics)")
     try:
         while True:
             time.sleep(3600)
@@ -308,11 +308,17 @@ def main(argv=None):
                     help="token-level continuous batching: requests join "
                          "the decode at chunk boundaries and finish "
                          "independently (no whole-batch drain); max-batch "
-                         "becomes the slot count")
+                         "becomes the slot count. Turbo/Nano: streaming "
+                         "requests then run CONCURRENTLY through the slot "
+                         "machine (no per-stream device lock)")
     ps.add_argument("--kv-int8", action="store_true",
                     help="int8 KV cache in the batched decode (pallas "
                          "streamed-int8 attention): half the attention HBM "
-                         "bytes at long budgets; quality A/B: tools/ab_int8.py")
+                         "bytes, but MEASURED neutral at B=2 and ~19%% "
+                         "slower at B=8 vs the bf16 default at this serving "
+                         "point (tools/perf_batch_int8.py) — an HBM-"
+                         "capacity knob, not a speedup; quality A/B: "
+                         "tools/ab_int8.py")
     ps.add_argument("--text-bucket", type=int, default=128,
                     help="continuous mode's fixed text-token capacity "
                          "(longer requests are truncated)")

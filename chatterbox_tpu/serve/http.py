@@ -18,6 +18,10 @@ stdlib ThreadingHTTPServer — no extra dependencies:
                  audio (ephemeral voice, not registered; needs prepare_fn)
   POST /voices  {"name": "...", "wav_b64": "<WAV>"}  → register a voice from
                  reference audio at runtime (requires a prepare_fn)
+  POST /vc      {"wav_b64": "<WAV>", "voice": "<id>" |
+                 "target_wav_b64": "<WAV>", "seed": 3} → audio/wav — voice
+                 conversion (source audio → S3 tokens → S3Gen with the
+                 target voice's ref bundle, no T3; ref: vc.py:83-104)
   POST /v1/audio/speech {"input": "...", "voice": "<id>",
                  "response_format": "wav"|"pcm", "seed": 3}
                  → OpenAI-compatible speech endpoint (drop-in for clients
@@ -134,8 +138,12 @@ class TTSHTTPServer:
         chunks as they are synthesized (e.g. a pipeline's generate_stream).
         The response is then Transfer-Encoding: chunked audio/wav, audio
         flowing at time-to-first-audio latency instead of after the full
-        synthesis. Streams are serialized (one drives the device at a
-        time); batched non-stream requests interleave freely.
+        synthesis. On the whole-batch backend streams are serialized (one
+        drives the device at a time); on a `continuous=` Turbo/Nano slot
+        machine with an s3gen engine, streaming runs CONCURRENTLY through
+        the slot machine instead (no stream_fn needed, no device lock —
+        N streaming clients share one batched decode and each client's
+        audio streams as its own slot advances).
 
         prepare_fn (optional): enables POST /voices runtime voice
         registration — a callable (wav_path) -> Voice building the full
@@ -167,6 +175,11 @@ class TTSHTTPServer:
             self.loop = ContinuousServingLoop(continuous, self._on_result)
         else:
             self.loop = ServingLoop(decoder, self._on_result, s3gen=s3gen)
+        # concurrent streaming rides the slot machine when it can vocode
+        # (Turbo/Nano family; the CFG slice semantics are not progressive)
+        self._continuous_stream = (continuous is not None
+                                   and continuous.s3gen is not None
+                                   and not continuous.cfg)
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self._httpd.server_address[:2]
 
@@ -216,6 +229,26 @@ class TTSHTTPServer:
             for _ in self.stream_fn("Warm up the streaming path.",
                                     first, None):
                 pass
+        if self._continuous_stream and first.ref is not None:
+            # one throwaway streaming request so the per-chunk
+            # StreamingVocoder programs compile too. The slot machine has
+            # exactly one driver at a time: route through the loop thread
+            # when it is already running, else drive directly.
+            slots = self.loop.server
+            done_ev = threading.Event()
+            req = TTSRequest(text_tokens=np.ones((8,), np.int32),
+                             cond=first.cond, ref=first.ref,
+                             request_id=-(10 ** 9), seed=0, max_new=max_gen)
+            cb = lambda c, f: done_ev.set() if f else None
+            loop_thread = getattr(self.loop, "_thread", None)
+            if loop_thread is not None and loop_thread.is_alive():
+                self.loop.submit_stream(req, cb)
+                if not done_ev.wait(self.timeout_s):
+                    raise TimeoutError("streaming warmup stalled")
+            else:
+                slots.submit(req, on_chunk=cb)
+                slots.run_until_idle()
+            slots.results.pop(req.request_id, None)
 
     def _on_result(self, result):
         ev = self._events.get(result.request_id)
@@ -291,6 +324,94 @@ class TTSHTTPServer:
         self.metrics.count("audio_seconds_total", len(wav) / self.sr)
         return wav
 
+    def voice_convert(self, wav_b64: str, voice_id: str = "default",
+                      target_wav_b64: Optional[str] = None,
+                      seed: Optional[int] = None) -> np.ndarray:
+        """Voice conversion (ref: vc.py:83-104): source WAV → S3 tokens →
+        S3Gen vocode against a target voice — a registered voice's RefDict
+        or a per-request target built from `target_wav_b64`. Pure device
+        programs (no donated state), so concurrent /vc requests and the
+        serving loop are free to interleave."""
+        import base64
+        import os
+        import tempfile
+        from ..utils.audio_io import load_audio
+        eng = self.loop.s3gen
+        if eng is None:
+            raise ValueError("voice conversion needs an s3gen engine")
+
+        def _to_tmp(b64: str):
+            fd, path = tempfile.mkstemp(suffix=".wav")
+            with os.fdopen(fd, "wb") as f:
+                f.write(base64.b64decode(b64))
+            return path
+
+        src = _to_tmp(wav_b64)
+        try:
+            audio_16 = load_audio(src, 16_000)
+            if target_wav_b64 is not None:
+                tgt = _to_tmp(target_wav_b64)
+                try:       # ref caps the target at 10 s (ref: vc.py:79)
+                    ref = eng.embed_ref(
+                        load_audio(tgt, self.sr)[: 10 * self.sr], self.sr)
+                finally:
+                    os.unlink(tgt)
+            else:
+                ref = self.voices[voice_id].ref
+                if ref is None:
+                    raise ValueError(f"voice {voice_id!r} has no RefDict")
+        finally:
+            os.unlink(src)
+        import jax
+        key = (jax.random.fold_in(jax.random.key(seed), 2)
+               if seed is not None else jax.random.key(int.from_bytes(
+                   os.urandom(4), "little")))
+        tokens, _ = eng.tokenize(audio_16)
+        wav = np.asarray(eng.inference(tokens, ref, key)).reshape(-1)
+        self.metrics.count("vc_requests_total")
+        self.metrics.count("audio_seconds_total", len(wav) / self.sr)
+        return wav
+
+    def synthesize_stream(self, text: str, voice_id: str,
+                          seed: Optional[int] = None, voice_obj=None,
+                          **sampler_kw):
+        """Generator of float32 wav chunks for one request served through
+        the continuous slot machine. Unlike the stream_fn path there is no
+        device lock: concurrent callers' requests decode TOGETHER in the
+        slot machine and each caller's chunks arrive as its slot advances
+        (chunk boundaries every `stream_chunk` tokens — byte-identical to
+        the same request run solo)."""
+        import queue as _queue
+        voice = voice_obj if voice_obj is not None else self.voices[voice_id]
+        if voice.ref is None:
+            raise ValueError("streaming needs the voice's S3Gen RefDict")
+        ids = np.asarray(self.tokenizer.text_to_tokens(text)).reshape(-1)
+        if self.frame_text is not None:
+            ids = np.asarray(self.frame_text(ids)).reshape(-1)
+        with self._id_lock:
+            rid = self._next_id
+            self._next_id += 1
+        chunks: "_queue.Queue[tuple]" = _queue.Queue()
+
+        def on_chunk(chunk, final):
+            chunks.put((np.asarray(chunk), final))
+
+        sampler = SamplerParams.make(**sampler_kw) if sampler_kw else None
+        self.loop.submit_stream(TTSRequest(
+            text_tokens=ids.astype(np.int32), cond=voice.cond,
+            ref=voice.ref, sampler=sampler, request_id=rid, seed=seed),
+            on_chunk)
+        while True:
+            try:
+                chunk, final = chunks.get(timeout=self.timeout_s)
+            except _queue.Empty:
+                raise TimeoutError(f"stream {rid} stalled "
+                                   f"(> {self.timeout_s}s between chunks)")
+            if chunk.size:
+                yield chunk
+            if final:
+                return
+
     # ------------------------------------------------------------------
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
@@ -332,6 +453,8 @@ class TTSHTTPServer:
             def do_POST(self):
                 if self.path == "/voices":
                     return self._register_voice()
+                if self.path == "/vc":
+                    return self._vc()
                 openai_compat = self.path == "/v1/audio/speech"
                 if self.path != "/tts" and not openai_compat:
                     return self._json(404, {"error": "not found"})
@@ -367,10 +490,12 @@ class TTSHTTPServer:
                           ("temperature", "top_p", "min_p",
                            "repetition_penalty", "cfg_weight") if k in req}
                     if req.get("stream"):
-                        if server_self.stream_fn is None:
+                        if (server_self.stream_fn is None
+                                and not server_self._continuous_stream):
                             return self._json(400, {
-                                "error": "streaming not enabled "
-                                         "(server has no stream_fn)"})
+                                "error": "streaming not enabled (server has "
+                                         "no stream_fn and no streaming-"
+                                         "capable continuous backend)"})
                         return self._stream(text, voice, req.get("seed"),
                                             kw, voice_obj=voice_obj)
                     server_self.metrics.count("requests_total")
@@ -395,6 +520,37 @@ class TTSHTTPServer:
                     body, ctype = wav_bytes(wav, server_self.sr), "audio/wav"
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _vc(self):
+                """POST /vc — voice conversion: source wav_b64 → wav of the
+                same speech in the target voice (registered `voice` or a
+                per-request `target_wav_b64`)."""
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    voice = req.get("voice", "default")
+                    if (req.get("target_wav_b64") is None
+                            and voice not in server_self.voices):
+                        return self._json(400, {"error": f"unknown voice "
+                                                f"{voice!r}"})
+                    t0 = time.perf_counter()
+                    wav = server_self.voice_convert(
+                        req["wav_b64"], voice_id=voice,
+                        target_wav_b64=req.get("target_wav_b64"),
+                        seed=req.get("seed"))
+                    server_self.metrics.add_stage(
+                        "http_vc", time.perf_counter() - t0)
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    return self._json(400, {"error": repr(e)})
+                except Exception as e:
+                    server_self.metrics.count("errors_total")
+                    return self._json(500, {"error": repr(e)})
+                body = wav_bytes(wav, server_self.sr)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -438,7 +594,12 @@ class TTSHTTPServer:
                 chunk as PCM16 the moment it exists. A mid-stream failure can
                 only truncate the stream (the 200 is already sent) — it is
                 swallowed here, never re-raised into do_POST, which would
-                write a second response onto the completed socket."""
+                write a second response onto the completed socket.
+
+                Backend: the continuous slot machine when it can stream
+                (concurrent — no lock, chunks flow while other streams and
+                batch requests decode alongside); otherwise the serialized
+                stream_fn path."""
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -452,11 +613,18 @@ class TTSHTTPServer:
                 t0 = time.perf_counter()
                 first = True
                 try:
-                    with server_self._stream_lock:
+                    if server_self._continuous_stream:
+                        import contextlib
+                        ctx = contextlib.nullcontext()
+                        gen = server_self.synthesize_stream(
+                            text, voice, seed, voice_obj=voice_obj, **kw)
+                    else:
+                        ctx = server_self._stream_lock
                         v = (voice_obj if voice_obj is not None
                              else server_self.voices[voice])
-                        for chunk in server_self.stream_fn(
-                                text, v, seed, **kw):
+                        gen = server_self.stream_fn(text, v, seed, **kw)
+                    with ctx:
+                        for chunk in gen:
                             if first:
                                 server_self.metrics.add_stage(
                                     "http_stream_ttfa",

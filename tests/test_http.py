@@ -346,6 +346,51 @@ class TestHTTP:
             post({"voice": "default"})           # missing "input"
         assert ei.value.code == 400
 
+    def test_vc_roundtrip(self, server):
+        """POST /vc: source wav in → converted wav out against the
+        registered voice's ref bundle (ref capability: vc.py:83-104)."""
+        import base64
+        rng = np.random.default_rng(3)
+        src = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/vc",
+            data=json.dumps({
+                "wav_b64": base64.b64encode(
+                    wav_bytes(src, 16000)).decode(),
+                "voice": "default", "seed": 5}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as resp:
+            assert resp.status == 200
+            sr, pcm = _parse_wav(resp.read())
+        assert sr == 24000 and len(pcm) > 0 and np.isfinite(pcm).all()
+
+    def test_vc_per_request_target(self, server):
+        """Per-request target voice: target_wav_b64 builds an ephemeral
+        ref bundle (embed_ref), no registered voice needed."""
+        import base64
+        rng = np.random.default_rng(4)
+        b64 = lambda w, sr: base64.b64encode(wav_bytes(w, sr)).decode()
+        src = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        tgt = (0.1 * rng.standard_normal(24000)).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/vc",
+            data=json.dumps({"wav_b64": b64(src, 16000),
+                             "target_wav_b64": b64(tgt, 24000),
+                             "seed": 6}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as resp:
+            sr, pcm = _parse_wav(resp.read())
+        assert sr == 24000 and len(pcm) > 0
+
+    def test_vc_unknown_voice_400(self, server):
+        req = urllib.request.Request(
+            f"http://{server.host}:{server.port}/vc",
+            data=json.dumps({"wav_b64": "", "voice": "nope"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
     def test_bad_path_404(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(
@@ -399,7 +444,7 @@ def cont_server():
                       np.zeros((1, hp.speech_cond_prompt_len), np.int32))
     slots = ContinuousTTSServer(t3p, hp, n_slots=3, text_bucket=16,
                                 max_new_tokens=8, chunk=4, top_k=40,
-                                s3gen=eng)
+                                s3gen=eng, stream_chunk=4)
     srv = TTSHTTPServer(None, eng, _Tok(), {"default": Voice(cond, ref)},
                         sr=24000, port=0, timeout_s=240.0, continuous=slots)
     srv.start()
@@ -460,3 +505,61 @@ class TestContinuousHTTP:
                 f"http://{cont_server.host}:{cont_server.port}/healthz",
                 timeout=30) as r:
             assert json.load(r)["ok"] is True
+
+    def test_stream_roundtrip_continuous(self, cont_server):
+        """`"stream": true` on the continuous backend needs no stream_fn:
+        chunks ride the slot machine (cont_server has stream_fn=None)."""
+        assert cont_server.stream_fn is None
+        with _post_to(cont_server, {"text": "stream me", "seed": 5,
+                                    "stream": True}) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/wav"
+            body = resp.read()
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        pcm = np.frombuffer(body[44:], np.int16)
+        assert len(pcm) > 0
+
+    def test_concurrent_streams_one_identical_to_solo(self, cont_server):
+        """THREE simultaneous streaming clients complete concurrently (no
+        per-stream device lock), and a seeded stream's bytes match the same
+        request run solo — the round-4 VERDICT done-criterion at the HTTP
+        surface."""
+        with _post_to(cont_server, {"text": "stream me", "seed": 21,
+                                    "stream": True}) as r:
+            solo = r.read()
+        out = {}
+
+        def call(i):
+            with _post_to(cont_server, {"text": "stream me", "seed": 21 + i,
+                                        "stream": True}) as resp:
+                out[i] = resp.read()
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        [t.start() for t in threads]
+        [t.join(timeout=240) for t in threads]
+        assert sorted(out) == [0, 1, 2]
+        assert all(len(b) > 44 for b in out.values())
+        assert out[0] == solo                       # byte-identical
+        assert out[1] != out[2]                     # different seeds differ
+
+    def test_stream_and_batch_interleave(self, cont_server):
+        """A streaming client and plain /tts clients run at the same time;
+        everyone completes (the stream holds no lock the others need)."""
+        out = {}
+
+        def stream():
+            with _post_to(cont_server, {"text": "long stream", "seed": 31,
+                                        "stream": True}) as r:
+                out["s"] = r.read()
+
+        def plain(i):
+            with _post_to(cont_server, {"text": "plain", "seed": 40 + i}) as r:
+                out[i] = _parse_wav(r.read())[1]
+
+        threads = ([threading.Thread(target=stream)]
+                   + [threading.Thread(target=plain, args=(i,))
+                      for i in range(2)])
+        [t.start() for t in threads]
+        [t.join(timeout=240) for t in threads]
+        assert set(out) == {"s", 0, 1}
+        assert len(out["s"]) > 44 and all(len(out[i]) for i in (0, 1))

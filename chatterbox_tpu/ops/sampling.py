@@ -50,12 +50,16 @@ def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
 def apply_top_p(logits: jnp.ndarray, top_p) -> jnp.ndarray:
     """HF TopPLogitsWarper: keep the smallest prefix of the descending-prob
     sort whose cumulative probability first reaches top_p (top token always
-    kept)."""
+    kept). top_p >= 1.0 keeps EVERYTHING — HF skips the warper entirely
+    there (ref: t3.py:398-401), and the cumulative formula alone does not
+    reduce to keep-all: once `cum` saturates to exactly 1.0 in f32 (peaked
+    distributions), `cum - probs < 1.0` starts dropping the tail. Caught by
+    the free-running turbo A/B (tests/test_convert.py)."""
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # token kept if the cumulative mass *before* it is < top_p
-    keep_sorted = (cum - probs) < top_p
+    keep_sorted = ((cum - probs) < top_p) | (top_p >= 1.0)
     # threshold = smallest kept logit
     threshold = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
     return jnp.where(logits < threshold, NEG_INF, logits)
@@ -108,8 +112,9 @@ def process_logits_cfg(logits_cond, logits_uncond, seen, sp: SamplerParams):
 def process_logits_turbo(logits, seen, sp: SamplerParams, top_k: int):
     """The Turbo pipeline (ref: t3.py:396-404):
     temperature → top_k → top_p → repetition penalty.
-    (HF warpers skip when at neutral settings: temp==1, top_p>=1, pen==1 —
-    the formulas below are identity at those values anyway.)
+    (HF warpers skip when at neutral settings: temp==1, top_p>=1, pen==1.
+    The formulas below are identity at those values too — top_p>=1 needs
+    the explicit keep-all bypass below, see apply_top_p.)
 
     Implemented with ONE descending sort: sequential top_k-then-top_p keeps
     exactly {l >= max(kth_value, top_p_threshold)} where the top_p cumulative
@@ -126,7 +131,7 @@ def process_logits_turbo(logits, seen, sp: SamplerParams, top_k: int):
         masked = sorted_l
     probs = jax.nn.softmax(masked, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < sp.top_p
+    keep = ((cum - probs) < sp.top_p) | (sp.top_p >= 1.0)
     if 0 < top_k < V:
         keep = keep & (ranks < top_k)
     threshold = jnp.min(jnp.where(keep, sorted_l, jnp.inf), axis=-1, keepdims=True)

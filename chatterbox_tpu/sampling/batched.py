@@ -89,7 +89,11 @@ def t3_prefill_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     cfg = hp.backbone
     B, Ltp = text_tokens.shape
     Lc = t3m.cond_len(hp)
-    P_pad = Lc + Ltp + 1
+    # CFG prefix is [cond | text | BOS | BOS] — the reference's shipped loop
+    # feeds the BOS embed twice (ref: t3.py:258-268 + t3.py:305-313); Turbo
+    # feeds one (see sampling/decode.py for the full note)
+    n_bos = 2 if cfg_mode else 1
+    P_pad = Lc + Ltp + n_bos
     V = hp.speech_tokens_dict_size
 
     ce = t3m.cond_embeds(params, hp, cond)                      # (B, Lc, D)
@@ -104,6 +108,7 @@ def t3_prefill_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     bos = t3m.speech_embed_token(
         params, hp, jnp.full((Bp,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))
+    bos = jnp.concatenate([bos] * n_bos, axis=1)                # (Bp, n_bos, D)
     dt = params["speech_emb"]["w"].dtype
     ce, te, bos = ce.astype(dt), te.astype(dt), bos.astype(dt)
 
@@ -113,7 +118,7 @@ def t3_prefill_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     dense = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)  # (Bp, P_pad, D)
     dense = jax.vmap(lambda xi, bi, li: jax.lax.dynamic_update_slice(xi, bi, (li, 0))
                      )(dense, bos, Lc + lens_p)
-    prefix_lens = Lc + lens_p + 1                               # (Bp,)
+    prefix_lens = Lc + lens_p + n_bos                           # (Bp,)
     pad = P_pad - prefix_lens                                   # left-pad per row
     x = jax.vmap(lambda xi, p: jnp.roll(xi, p, axis=0))(dense, pad)
 
@@ -254,7 +259,7 @@ def t3_generate_batched(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     same quality caveat as the single-stream kv_int8: tools/ab_int8.py)."""
     _check_fused_attn(fused_attn)
     Lc = t3m.cond_len(hp)
-    P_pad = Lc + text_tokens.shape[1] + 1
+    P_pad = Lc + text_tokens.shape[1] + (2 if cfg_mode else 1)
     t_cap = P_pad + max_new_tokens
     if kv_int8:
         from ..ops.pallas_attention import TT
@@ -292,7 +297,7 @@ def t3_generate_batched_bucketed(params: dict, hp: T3Config,
         left -= n
         s *= 2
     Lc = t3m.cond_len(hp)
-    P_pad = Lc + text_tokens.shape[1] + 1
+    P_pad = Lc + text_tokens.shape[1] + (2 if cfg_mode else 1)
 
     def _cap(tokens: int) -> int:
         t_cap = P_pad + tokens

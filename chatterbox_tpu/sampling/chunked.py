@@ -49,7 +49,11 @@ def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     Lc = t3m.cond_len(hp)
     Ltp = text_tokens.shape[1]
     B = 2 if cfg_mode else 1
-    P_pad = Lc + Ltp + 1
+    # CFG prefix is [cond | text | BOS | BOS] — the reference's shipped loop
+    # feeds the BOS embed twice (ref: t3.py:258-268 + t3.py:305-313); Turbo
+    # feeds one (see sampling/decode.py for the full note)
+    n_bos = 2 if cfg_mode else 1
+    P_pad = Lc + Ltp + n_bos
     t_max = P_pad + max_new_tokens
     if tile_align:
         from ..ops.pallas_attention import TT
@@ -67,12 +71,13 @@ def t3_prefill(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     bos = t3m.speech_embed_token(
         params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))
+    bos = jnp.concatenate([bos] * n_bos, axis=1)
     dt = params["speech_emb"]["w"].dtype
     ce, te, bos = ce.astype(dt), te.astype(dt), bos.astype(dt)
     x = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)
     x = jax.lax.dynamic_update_slice(x, bos, (0, Lc + text_len, 0))
 
-    prefill_len = Lc + text_len + 1
+    prefill_len = Lc + text_len + n_bos
     lens = jnp.full((B,), prefill_len, jnp.int32)
     cache_cls = bb.KVCacheInt8 if kv_int8 else bb.KVCache
     cache = cache_cls.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
@@ -245,7 +250,7 @@ def t3_generate_bucketed(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
                        max_new_tokens=segs[0], cfg_mode=cfg_mode,
                        kv_int8=kv_int8, tile_align=fused_attn)
     Lc = t3m.cond_len(hp)
-    P_pad = Lc + text_tokens.shape[1] + 1
+    P_pad = Lc + text_tokens.shape[1] + (2 if cfg_mode else 1)
     align = 1
     if fused_attn:
         from ..ops.pallas_attention import TT

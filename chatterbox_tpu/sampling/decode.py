@@ -66,7 +66,14 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     Lc = t3m.cond_len(hp)
     Ltp = text_tokens.shape[1]
     B = 2 if (cfg_mode and cfg_batch2) else 1
-    P_pad = Lc + Ltp + 1
+    # the reference's shipped CFG loop feeds the speech BOS embed TWICE:
+    # prepare_input_embeds already appends it (ref: t3.py:258-268) and the
+    # loop concatenates bos_embed again (ref: t3.py:305-313), both at learned
+    # speech pos 0 — the published checkpoints run with that prefix, so the
+    # CFG-family prefix here is [cond | text | BOS | BOS]. Turbo feeds one
+    # BOS (ref: t3.py:409-415).
+    n_bos = 2 if cfg_mode else 1
+    P_pad = Lc + Ltp + n_bos
     t_max = P_pad + max_new_tokens
     if fused_attn is None:
         # measured on v5e: XLA mha wins at every generation length (the
@@ -92,13 +99,14 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     bos = t3m.speech_embed_token(
         params, hp, jnp.full((B,), hp.start_speech_token, jnp.int32),
         jnp.zeros((), jnp.int32))                             # (B, 1, D)
+    bos = jnp.concatenate([bos] * n_bos, axis=1)              # (B, n_bos, D)
 
     dt = params["speech_emb"]["w"].dtype                      # compute dtype
     ce, te, bos = ce.astype(dt), te.astype(dt), bos.astype(dt)
     x = jnp.concatenate([ce, te, jnp.zeros_like(bos)], axis=1)  # (B, P_pad, D)
     x = jax.lax.dynamic_update_slice(x, bos, (0, Lc + text_len, 0))
 
-    prefill_len = Lc + text_len + 1                            # dynamic scalar
+    prefill_len = Lc + text_len + n_bos                        # dynamic scalar
     lens = jnp.full((B,), prefill_len, jnp.int32)
 
     # ---- prefill ----------------------------------------------------------

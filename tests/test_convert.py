@@ -312,6 +312,200 @@ class TestT3ConvertGPT2:
                                    atol=1e-3)
 
 
+class _GreedyTorch:
+    """Monkeypatch torch.multinomial → argmax so the reference sampling
+    loops become deterministic-greedy (paired with a near-zero temperature
+    on the JAX side, where argmax dominates the categorical gumbel noise)."""
+
+    def __enter__(self):
+        self._orig = torch.multinomial
+        torch.multinomial = (
+            lambda probs, num_samples=1, **kw: probs.argmax(dim=-1,
+                                                            keepdim=True))
+        return self
+
+    def __exit__(self, *exc):
+        torch.multinomial = self._orig
+
+
+class TestFreeRunningParity:
+    """Token-identical A/B of the COMPOSED decode loops against the
+    reference's own `T3.inference` / `T3.inference_turbo` (greedy): this is
+    the only test level that sees KV-cache round-trips, the double-BOS CFG
+    prefix (ref: t3.py:258-268 + 305-313), EOS/position bookkeeping, and the
+    processor-chain ordering ACROSS steps — per-module goldens can't."""
+
+    @pytest.fixture(scope="class")
+    def ref_llama_inf(self):
+        cfgs = load_ref_module("chatterbox.models.t3.llama_configs")
+        cfgs.LLAMA_CONFIGS["Llama_tiny_inf"] = dict(
+            vocab_size=8, max_position_embeddings=4096, hidden_size=64,
+            intermediate_size=256, num_hidden_layers=2, num_attention_heads=4,
+            attn_implementation="eager", head_dim=16,
+            tie_word_embeddings=False, hidden_act="silu",
+            attention_bias=False, attention_dropout=0.0,
+            initializer_range=0.02, mlp_bias=False, model_type="llama",
+            num_key_value_heads=4, pretraining_tp=1, rms_norm_eps=1e-05,
+            rope_scaling=dict(factor=8.0, high_freq_factor=4.0,
+                              low_freq_factor=1.0,
+                              original_max_position_embeddings=8192,
+                              rope_type="llama3"),
+            rope_theta=500000.0, use_cache=True,
+        )
+        t3c = load_ref_module("chatterbox.models.t3.modules.t3_config")
+        hp = t3c.T3Config(text_tokens_dict_size=64)
+        hp.llama_config_name = "Llama_tiny_inf"
+        hp.speech_tokens_dict_size = 80
+        hp.use_perceiver_resampler = False
+        hp.speech_cond_prompt_len = 8
+        hp.start_text_token = 2
+        # free-running needs the speech specials INSIDE the tiny vocab
+        hp.start_speech_token = 75
+        hp.stop_speech_token = 76
+        t3mod = load_ref_module("chatterbox.models.t3.t3")
+        torch.manual_seed(4)
+        return t3mod.T3(hp).eval(), hp
+
+    @pytest.fixture(scope="class")
+    def ref_gpt2_inf(self):
+        cfgs = load_ref_module("chatterbox.models.t3.llama_configs")
+        cfgs.LLAMA_CONFIGS["GPT2_tiny_inf"] = {
+            "activation_function": "gelu_new", "attn_pdrop": 0.0,
+            "embd_pdrop": 0.0, "resid_pdrop": 0.0, "bos_token_id": 0,
+            "eos_token_id": 0, "initializer_range": 0.02,
+            "layer_norm_epsilon": 1e-05, "model_type": "gpt2", "n_ctx": 256,
+            "n_embd": 64, "hidden_size": 64, "n_head": 4, "n_layer": 2,
+            "n_positions": 256, "vocab_size": 96,
+        }
+        t3c = load_ref_module("chatterbox.models.t3.modules.t3_config")
+        hp = t3c.T3Config(text_tokens_dict_size=96)
+        hp.llama_config_name = "GPT2_tiny_inf"
+        hp.speech_tokens_dict_size = 80
+        hp.input_pos_emb = None
+        hp.speech_cond_prompt_len = 8
+        hp.use_perceiver_resampler = False
+        hp.emotion_adv = False
+        hp.start_text_token = 2
+        hp.start_speech_token = 75
+        hp.stop_speech_token = 76
+        t3mod = load_ref_module("chatterbox.models.t3.t3")
+        torch.manual_seed(8)
+        return t3mod.T3(hp).eval(), hp
+
+    def test_cfg_inference_token_identical(self, ref_llama_inf):
+        """Greedy free-running CFG loop vs the reference's T3.inference
+        (ref: t3.py:225-390), invoked exactly as ChatterboxTTS.generate
+        does (duplicated SOT/EOT-framed text, cfg_weight=0.5)."""
+        m, ref_hp = ref_llama_inf
+        from chatterbox_tpu.models.t3.config import (T3Config, BackboneConfig,
+                                                     BACKBONES)
+        from chatterbox_tpu.models.t3 import model as t3m
+        from chatterbox_tpu.sampling.decode import t3_generate
+        from chatterbox_tpu.ops.sampling import SamplerParams
+        BACKBONES["Llama_tiny_inf"] = BackboneConfig(
+            family="llama", hidden_size=64, num_layers=2, num_heads=4,
+            head_dim=16, intermediate_size=256, num_kv_heads=4)
+        hp = T3Config(text_tokens_dict_size=64,
+                      backbone_name="Llama_tiny_inf",
+                      speech_tokens_dict_size=80, input_pos_emb="learned",
+                      speech_cond_prompt_len=8,
+                      use_perceiver_resampler=False, emotion_adv=True,
+                      start_text_token=2, start_speech_token=75,
+                      stop_speech_token=76)
+        sd = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+        params = W.convert_t3(sd, hp)
+        cond_mod = load_ref_module("chatterbox.models.t3.modules.cond_enc")
+        torch.manual_seed(5)
+        spk = torch.randn(1, 256)
+        prompt = torch.randint(0, 80, (1, 8))
+        emo = 0.5 * torch.ones(1, 1, 1)
+        t3cond = cond_mod.T3Cond(speaker_emb=spk,
+                                 cond_prompt_speech_tokens=prompt,
+                                 emotion_adv=emo)
+        ids = torch.randint(3, 64, (1, 10))
+        # the pipeline duplicates text for CFG then frames (ref: tts.py:237-243)
+        text = torch.nn.functional.pad(torch.cat([ids, ids], 0), (1, 0),
+                                       value=ref_hp.start_text_token)
+        text = torch.nn.functional.pad(text, (0, 1),
+                                       value=ref_hp.stop_text_token)
+        K = 12
+        with _GreedyTorch(), torch.inference_mode():
+            ref_toks = m.inference(t3_cond=t3cond, text_tokens=text,
+                                   max_new_tokens=K, temperature=1e-4,
+                                   cfg_weight=0.5)
+        cond = t3m.T3CondArrays(
+            speaker_emb=jnp.asarray(spk.numpy()),
+            cond_prompt_speech_tokens=jnp.asarray(prompt.numpy()),
+            emotion_adv=jnp.asarray(emo.numpy()))
+        framed = np.zeros((1, 32), np.int32)
+        ft = text[0].numpy()
+        framed[0, : len(ft)] = ft
+        sp = SamplerParams.make(temperature=1e-4, top_p=0.95, min_p=0.05,
+                                repetition_penalty=1.2, cfg_weight=0.5)
+        res = t3_generate(params, hp, cond, jnp.asarray(framed),
+                          jnp.asarray(len(ft)), sp, jax.random.key(0),
+                          max_new_tokens=K, cfg_mode=True)
+        ours = np.asarray(res.tokens)[: int(res.n_tokens)].tolist()
+        assert ours == ref_toks[0].tolist()
+
+    def test_turbo_inference_token_identical(self, ref_gpt2_inf):
+        """Greedy free-running Turbo loop vs the reference's
+        T3.inference_turbo (ref: t3.py:392-468): temp→top_k→top_p→rep chain,
+        start-token-only penalty at step 0, single-BOS prefix. top_p=1.0 so
+        the repetition penalty actually decides tokens (at top_p<1 the
+        near-one-hot greedy distribution leaves a single candidate).
+        Cap semantics: the reference samples ONE token from the prefill and
+        then max_gen_len more, so ref(max_gen_len=K-1) pairs with
+        ours(max_new_tokens=K); the reference also strips a trailing EOS."""
+        m, ref_hp = ref_gpt2_inf
+        from chatterbox_tpu.models.t3.config import (T3Config, BackboneConfig,
+                                                     BACKBONES)
+        from chatterbox_tpu.models.t3 import model as t3m
+        from chatterbox_tpu.sampling.decode import t3_generate
+        from chatterbox_tpu.ops.sampling import SamplerParams
+        BACKBONES["GPT2_tiny_inf"] = BackboneConfig(
+            family="gpt2", hidden_size=64, num_layers=2, num_heads=4,
+            head_dim=16, intermediate_size=256, max_positions=256,
+            vocab_size=96)
+        hp = T3Config(text_tokens_dict_size=96,
+                      backbone_name="GPT2_tiny_inf",
+                      speech_tokens_dict_size=80, input_pos_emb=None,
+                      speech_cond_prompt_len=8,
+                      use_perceiver_resampler=False, emotion_adv=False,
+                      start_text_token=2, start_speech_token=75,
+                      stop_speech_token=76)
+        sd = {k: v.detach().float().numpy() for k, v in m.state_dict().items()}
+        params = W.convert_t3(sd, hp)
+        cond_mod = load_ref_module("chatterbox.models.t3.modules.cond_enc")
+        torch.manual_seed(9)
+        spk = torch.randn(1, 256)
+        prompt = torch.randint(0, 80, (1, 8))
+        t3cond = cond_mod.T3Cond(speaker_emb=spk,
+                                 cond_prompt_speech_tokens=prompt,
+                                 emotion_adv=None)
+        # turbo passes raw BPE ids, no SOT/EOT framing (ref: tts_turbo.py:295)
+        ids = torch.randint(1, 96, (1, 11))
+        K = 12
+        with _GreedyTorch(), torch.inference_mode():
+            ref_toks = m.inference_turbo(
+                t3_cond=t3cond, text_tokens=ids, temperature=1e-4,
+                top_k=1000, top_p=1.0, repetition_penalty=1.2,
+                max_gen_len=K - 1)
+        cond = t3m.T3CondArrays(jnp.asarray(spk.numpy()),
+                                jnp.asarray(prompt.numpy()), None)
+        framed = np.zeros((1, 32), np.int32)
+        framed[0, : ids.shape[1]] = ids[0].numpy()
+        sp = SamplerParams.make(temperature=1e-4, top_p=1.0, min_p=0.0,
+                                repetition_penalty=1.2, cfg_weight=0.0)
+        res = t3_generate(params, hp, cond, jnp.asarray(framed),
+                          jnp.asarray(ids.shape[1]), sp, jax.random.key(0),
+                          max_new_tokens=K, top_k=1000, cfg_mode=False)
+        ours = np.asarray(res.tokens)[: int(res.n_tokens)].tolist()
+        if ours and ours[-1] == hp.stop_speech_token:
+            ours = ours[:-1]          # ref strips a trailing EOS (t3.py:465)
+        assert ours == ref_toks[0].tolist()
+
+
 class TestNativeCheckpoint:
     def test_roundtrip(self, tmp_path):
         from chatterbox_tpu.convert.native_ckpt import save_pytree, load_pytree

@@ -422,6 +422,62 @@ def _lin_any(sd, prefixes, bias=True):
     raise KeyError(f"none of {prefixes} present")
 
 
+def dry_map_s3tokenizer(keys, p="tokenizer") -> dict:
+    """Report — WITHOUT converting — how convert_s3tokenizer's name map
+    lands on a checkpoint's key inventory.
+
+    The S3TokenizerV2 encoder here is reconstructed from the public pip
+    package's architecture (whisper-style MHA + tanh-FSQ); a real
+    `s3gen.safetensors` may disagree (named P0 risk, DESIGN.md). This
+    dry-map turns that failure mode into an actionable diff instead of a
+    bare KeyError: given just the state-dict key names it returns
+
+      {"n_layers": L,
+       "mapped":   checkpoint keys the converter would consume,
+       "unmapped": checkpoint keys under `p.` the map does not know
+                   (architecture drift — extend the map from these),
+       "missing":  keys the map expects but the checkpoint lacks}
+
+    Buffer keys the reference wrapper registers as ignore-missing
+    (`_mel_filters`, `window` — ref s3tokenizer.py:29) are treated as known.
+    """
+    keys = set(keys)
+    present = {k for k in keys if k.startswith(p + ".")}
+    n_layers = 0
+    while any(k.startswith(f"{p}.encoder.blocks.{n_layers}.")
+              for k in present):
+        n_layers += 1
+
+    def wb(prefix, bias=True):
+        return [f"{prefix}.weight"] + ([f"{prefix}.bias"] if bias else [])
+
+    expected = []
+    expected += wb(f"{p}.encoder.conv1") + wb(f"{p}.encoder.conv2")
+    for i in range(n_layers):
+        b = f"{p}.encoder.blocks.{i}"
+        expected += (wb(f"{b}.attn_ln") + wb(f"{b}.attn.query")
+                     + wb(f"{b}.attn.key", bias=False)
+                     + wb(f"{b}.attn.value") + wb(f"{b}.attn.out")
+                     + wb(f"{b}.mlp_ln") + wb(f"{b}.mlp.0")
+                     + wb(f"{b}.mlp.2"))
+    expected += wb(f"{p}.encoder.ln_post")
+    fsq_variants = (f"{p}.quantizer._codebook.project_down",
+                    f"{p}.quantizer.codebook.project_down",
+                    f"{p}.quantizer.project_down")
+    fsq = next((v for v in fsq_variants
+                if f"{v}.weight" in present), fsq_variants[0])
+    expected += wb(fsq)
+    expected = set(expected)
+    ignorable = {k for k in present
+                 if k.endswith("_mel_filters") or k.endswith(".window")}
+    return {
+        "n_layers": n_layers,
+        "mapped": sorted(present & expected),
+        "unmapped": sorted(present - expected - ignorable),
+        "missing": sorted(expected - present),
+    }
+
+
 def convert_s3tokenizer(sd, p="tokenizer") -> dict:
     try:
         n_layers = _count(sd, lambda i: f"{p}.encoder.blocks.{i}.")
@@ -453,12 +509,16 @@ def convert_s3tokenizer(sd, p="tokenizer") -> dict:
         }
     except KeyError as e:
         known = sorted(k for k in sd if k.startswith(f"{p}."))[:20]
+        report = dry_map_s3tokenizer(sd.keys(), p)
         raise S3TokenizerConversionError(
             f"S3 tokenizer weight conversion failed on key {e}. The checkpoint "
             f"has {len([k for k in sd if k.startswith(p + '.')])} '{p}.*' "
             f"tensors; first keys: {known}. Refusing to fall back to random "
-            f"init (it would produce noise audio). If this is a new checkpoint "
-            f"layout, extend convert_s3tokenizer's name map.") from e
+            f"init (it would produce noise audio). Dry-map diff "
+            f"(extend the name map from these): "
+            f"{len(report['mapped'])} mapped, "
+            f"unmapped={report['unmapped'][:12]}, "
+            f"missing={report['missing'][:12]}.") from e
     return out
 
 

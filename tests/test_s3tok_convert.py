@@ -156,6 +156,33 @@ class TestS3TokenizerConversion:
         with pytest.raises(S3TokenizerConversionError):
             convert_s3tokenizer(sd)
 
+    def test_dry_map_full_coverage(self, replica):
+        """On a matching layout the dry-map consumes every key and wants
+        nothing (so a real-checkpoint diff is pure signal)."""
+        from chatterbox_tpu.convert.weights import dry_map_s3tokenizer
+        _, model = replica
+        sd = _state_dict_prefixed(model)
+        rep = dry_map_s3tokenizer(sd.keys())
+        assert rep["unmapped"] == [] and rep["missing"] == []
+        assert rep["n_layers"] == len(model.encoder.blocks)
+        assert len(rep["mapped"]) == len(sd)
+
+    def test_dry_map_reports_drift(self, replica):
+        """Architecture drift shows up as an inventory diff, not a crash:
+        an unknown checkpoint key → unmapped; a deleted one → missing;
+        ignore-missing buffers (ref s3tokenizer.py:29) → neither."""
+        from chatterbox_tpu.convert.weights import dry_map_s3tokenizer
+        _, model = replica
+        sd = _state_dict_prefixed(model)
+        keys = set(sd) | {"tokenizer.encoder.blocks.0.attn.rel_pos.weight",
+                          "tokenizer._mel_filters",
+                          "tokenizer.encoder.window"}
+        keys.discard("tokenizer.encoder.ln_post.bias")
+        rep = dry_map_s3tokenizer(keys)
+        assert rep["unmapped"] == [
+            "tokenizer.encoder.blocks.0.attn.rel_pos.weight"]
+        assert rep["missing"] == ["tokenizer.encoder.ln_post.bias"]
+
     def test_missing_fsq_is_hard_error(self, replica):
         _, model = replica
         sd = _state_dict_prefixed(model)

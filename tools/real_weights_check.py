@@ -62,6 +62,38 @@ def _ckpt_dir(args):
     raise SkipStage("no --ckpt-dir and no --download")
 
 
+@stage("s3tok dry-map: name-map coverage on the real s3gen.safetensors")
+def check_s3tok_drymap(args):
+    """Run BEFORE any conversion: given only the checkpoint's key
+    inventory, report how the S3TokenizerV2 name map lands — the encoder
+    here is reconstructed from the pip package's architecture (named P0
+    risk, DESIGN.md), and this stage turns a layout mismatch into an
+    actionable diff instead of a KeyError mid-convert."""
+    from pathlib import Path
+    from safetensors import safe_open
+    from chatterbox_tpu.convert.weights import dry_map_s3tokenizer
+    d = Path(_ckpt_dir(args))
+    f = next((d / n for n in ("s3gen.safetensors", "s3gen.pt")
+              if (d / n).exists()), None)
+    if f is None:
+        raise SkipStage("no s3gen checkpoint file in ckpt dir")
+    if f.suffix == ".safetensors":
+        with safe_open(str(f), framework="numpy") as sf:
+            keys = list(sf.keys())
+    else:
+        from chatterbox_tpu.convert.weights import load_torch_pt
+        keys = list(load_torch_pt(f).keys())
+    rep = dry_map_s3tokenizer(keys)
+    msg = (f"{rep['n_layers']} layers, {len(rep['mapped'])} mapped, "
+           f"{len(rep['unmapped'])} unmapped, {len(rep['missing'])} missing")
+    if rep["unmapped"] or rep["missing"]:
+        raise RuntimeError(
+            f"{msg}; unmapped={rep['unmapped'][:12]} "
+            f"missing={rep['missing'][:12]} — extend "
+            f"convert_s3tokenizer's name map from this diff")
+    return msg
+
+
 @stage("convert: english 520M")
 def check_convert_english(args):
     from chatterbox_tpu.api.pipelines import ChatterboxTTS
@@ -199,6 +231,7 @@ def main():
     args = ap.parse_args()
     args._english = args._turbo = None
 
+    check_s3tok_drymap(args)
     check_convert_english(args)
     check_convert_turbo(args)
     check_t3_parity(args)

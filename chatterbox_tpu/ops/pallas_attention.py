@@ -141,6 +141,12 @@ def decode_attention_streamed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     the dense single-request layout; the left-padded batched layout passes
     its per-row pad as lo). Returns (B, H, 1, D).
 
+    PRECONDITION: lo[b] <= cur_len[b] for every row. An empty window
+    (lo[b] > cur_len[b]) executes zero tiles and silently returns ~0
+    attention output (the flash denominator is clamped, not asserted) —
+    current callers can't hit this (pad < P_pad <= cur_len), but new
+    lower-bound callers must guarantee it.
+
     Unlike `decode_attention` (whole-slice VMEM copy-in, blocking), the
     cache streams in TT-sized tiles that Pallas double-buffers across grid
     steps, and tiles outside [lo[b], cur_len[b]] are never fetched (clamped
@@ -262,7 +268,10 @@ def decode_attention_streamed_int8(q: jnp.ndarray,
     (B, H, 1, D). Matches
     `decode_attention_streamed(q, k_q*k_s[...,None], v_q*v_s[...,None])`
     while moving half the HBM bytes; tiles outside [lo, cur_len] are never
-    fetched (clamped block index ⇒ DMA skipped), as in the bf16 kernel."""
+    fetched (clamped block index ⇒ DMA skipped), as in the bf16 kernel.
+
+    PRECONDITION: lo[b] <= cur_len[b] for every row (see
+    decode_attention_streamed — an empty window silently yields ~0)."""
     B, H, _, D = q.shape
     T = k_q.shape[2]
     assert T % TT == 0, f"cache length {T} not a multiple of {TT}"

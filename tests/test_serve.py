@@ -204,6 +204,44 @@ class TestServingLoop:
         np.testing.assert_array_equal(np.asarray(one.n_tokens),
                                       np.asarray(buck.n_tokens))
 
+    def test_kv_int8_grow_pads_across_tile_boundary(self, setup):
+        """With tiny configs every small budget tile-aligns to the SAME
+        256-slot cache, so grow_cache pads zero int8 bytes (r3 advisor
+        finding). This budget crosses the TT=256 tile boundary, so at least
+        one grow actually pads the int8 cache (and its scales) — parity
+        with the one-shot loop proves the padded region contributes
+        nothing."""
+        from chatterbox_tpu.sampling.batched import (
+            t3_generate_batched_bucketed)
+        from chatterbox_tpu.ops.pallas_attention import TT
+        from chatterbox_tpu.models.t3 import model as t3m
+        from chatterbox_tpu.sampling.chunked import segment_schedule
+        hp, params = setup
+        N = TT + 12                       # crosses the 256-slot boundary
+        text = jnp.pad(jnp.arange(1, 8, dtype=jnp.int32)[None],
+                       ((0, 0), (0, 9)))
+        lens = jnp.array([7], jnp.int32)
+        # the growth schedule must produce >1 distinct tile-aligned cap,
+        # else this test silently degenerates to the zero-pad case again
+        P_pad = t3m.cond_len(hp) + text.shape[1] + 1
+        caps, c = [], 0
+        for s in segment_schedule(N, 32):
+            c += s
+            caps.append(-(-(P_pad + c) // TT) * TT)
+        assert len(set(caps)) > 1, caps
+        sp = SamplerParams.make(cfg_weight=0.0, top_p=0.9)
+        keys = jax.random.split(jax.random.key(23), 1)
+        one = t3_generate_batched(params, hp, _cond(hp, 1), text, lens, sp,
+                                  keys, max_new_tokens=N, top_k=40,
+                                  kv_int8=True, ignore_eos=True)
+        buck = t3_generate_batched_bucketed(params, hp, _cond(hp, 1), text,
+                                            lens, sp, keys,
+                                            max_new_tokens=N, top_k=40,
+                                            first_segment=32, kv_int8=True,
+                                            ignore_eos=True)
+        np.testing.assert_array_equal(np.asarray(one.tokens),
+                                      np.asarray(buck.tokens))
+
     def test_batch_decoder_and_loop(self, setup):
         hp, params = setup
         dec = BatchDecoder(params, hp, max_batch=4, max_new_tokens=6, top_k=40)

@@ -19,6 +19,18 @@ FLOPs/shapes to the published checkpoints):
   8. nano_cpu_xrt   — Nano 110M on the CPU backend (BASELINE config 1;
                       reference claims 3× RT on 8 cores — the vs_baseline
                       target is scaled by min(cores,8)/8 for this image).
+  9. turbo_long_xrt / cfg520_long_xrt — the reference's ACTUAL 1000-token
+                      generation cap (ref: tts.py:249) riding the bucketed
+                      decode (+ int8-KV kernel for turbo, best-of).
+ 10. stream_ttfa_b4_ms — p50 TTFA with 4 CONCURRENT streaming requests on
+                      the continuous slot machine (the reference serves one
+                      request at a time, total).
+ 11. mtl_xrt        — Multilingual V3 cross-language (Korean), with the real
+                      text frontend (jamo normalizer + framing) in the timed
+                      region (BASELINE config 3).
+
+After every extra a `summary` JSON line re-emits ALL metrics measured so
+far, so the driver's bounded stdout tail always carries the full matrix.
 
 Axon quirk: block_until_ready is a no-op over the relay — all timings fetch
 values (np.asarray) to force completion.
@@ -57,6 +69,17 @@ def _elapsed():
 def _emit(metric, value, unit, vs_baseline):
     print(json.dumps({"metric": metric, "value": round(float(value), 3),
                       "unit": unit, "vs_baseline": round(float(vs_baseline), 3)}))
+    sys.stdout.flush()
+
+
+def _emit_summary(results):
+    """One compact JSON line carrying EVERY metric measured so far. Re-emitted
+    after each extra so the driver's bounded stdout tail always contains the
+    full matrix (r3 lost ttfa_ms/batch8_xrt to tail truncation)."""
+    print(json.dumps({"metric": "summary", "value": len(results),
+                      "unit": "count", "vs_baseline": 1.0,
+                      "all": {k: round(float(v), 3)
+                              for k, v in results.items()}}))
     sys.stdout.flush()
 
 
@@ -192,6 +215,100 @@ def bench_ttfa(results, ctx):
     results["ttfa_ms"] = p50
 
 
+def bench_turbo_long(results, ctx):
+    """Turbo at the reference's ACTUAL generation cap — 1000 tokens ≈ 40 s
+    (ref: tts.py:249, t3.py:394). This is the regime the bucketed decode
+    (sampling/chunked.py) and the int8-KV pallas kernel were built for;
+    measures both KV variants and reports the better (both logged)."""
+    from chatterbox_tpu.sampling.chunked import t3_generate_bucketed
+
+    hp, t3_params, engine = ctx["hp"], ctx["t3_params"], ctx["engine"]
+    cond, ref, sp, text = ctx["cond"], ctx["ref"], ctx["sp"], ctx["text"]
+    N = 1000
+
+    def step(seed, kv_int8):
+        t0 = time.perf_counter()
+        res = t3_generate_bucketed(
+            t3_params, hp, cond, text, jnp.asarray(30), sp,
+            jax.random.key(seed), max_new_tokens=N, top_k=1000,
+            cfg_mode=False, ignore_eos=True, kv_int8=kv_int8,
+            fused_attn=kv_int8)
+        wav, n_gen = engine.inference_from_decode(
+            res.tokens, res.n_tokens, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size,
+            budget=N)
+        assert np.isfinite(wav).all()
+        return time.perf_counter() - t0, n_gen
+
+    best = {}
+    for kv in (False, True):
+        _log(f"compiling Turbo long-budget (1000 tok, kv_int8={kv}) ...")
+        step(0, kv)
+        runs = [step(i + 1, kv) for i in range(2)]
+        tot = min(r[0] for r in runs)
+        xrt = (runs[-1][1] / 25.0) / tot
+        _log(f"Turbo long (kv_int8={kv}): {tot:.3f}s for "
+             f"{runs[-1][1] / 25.0:.0f}s audio → {xrt:.2f}x realtime")
+        best[kv] = xrt
+    results["turbo_long_xrt"] = max(best.values())
+    results["turbo_long_xrt_bf16kv"] = best[False]
+
+
+def bench_cfg520_long(results, cfg_ctx):
+    """520M CFG at the reference's 1000-token cap, bucketed decode."""
+    from chatterbox_tpu.models.t3.config import T3Config
+    from chatterbox_tpu.models.t3 import model as t3m
+    from chatterbox_tpu.sampling.chunked import t3_generate_bucketed
+    from chatterbox_tpu.ops.sampling import SamplerParams
+    from chatterbox_tpu.utils.dtypes import cast_params
+
+    hp = T3Config.english_only()
+    use_int8 = os.environ.get("CHATTERBOX_BENCH_BF16") != "1"
+    t3_params = cfg_ctx.get("t3_params")
+    if t3_params is None:
+        _log(f"building 520M T3 (llama, int8={use_int8}) ...")
+        t3_params = cast_params(t3m.t3_init(jax.random.key(10), hp),
+                                jnp.bfloat16)
+        if use_int8:
+            from chatterbox_tpu.utils.quantize import (best_serving_mode,
+                                                       quantize_t3_backbone)
+            t3_params = quantize_t3_backbone(
+                t3_params, mode=best_serving_mode(hp.backbone))
+    engine, ref = cfg_ctx["engine"], cfg_ctx["ref"]
+    cond = t3m.T3CondArrays(
+        speaker_emb=jnp.zeros((1, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((1, hp.speech_cond_prompt_len),
+                                            jnp.int32),
+        emotion_adv=0.5 * jnp.ones((1, 1, 1)),
+    )
+    text = jnp.zeros((1, 32), jnp.int32)
+    sp = SamplerParams.make(temperature=0.8, top_p=1.0, min_p=0.05,
+                            repetition_penalty=1.2, cfg_weight=0.5)
+    N = 1000
+
+    def step(seed):
+        t0 = time.perf_counter()
+        res = t3_generate_bucketed(
+            t3_params, hp, cond, text, jnp.asarray(30), sp,
+            jax.random.key(seed), max_new_tokens=N, cfg_mode=True,
+            ignore_eos=True)
+        wav, n_gen = engine.inference_from_decode(
+            res.tokens, res.n_tokens, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size,
+            budget=N)
+        assert np.isfinite(wav).all()
+        return time.perf_counter() - t0, n_gen
+
+    _log("compiling 520M CFG long-budget (1000 tok, bucketed) ...")
+    step(0)
+    runs = [step(i + 1) for i in range(2)]
+    tot = min(r[0] for r in runs)
+    xrt = (runs[-1][1] / 25.0) / tot
+    _log(f"520M CFG long: {tot:.3f}s for {runs[-1][1] / 25.0:.0f}s audio "
+         f"→ {xrt:.2f}x realtime")
+    results["cfg520_long_xrt"] = xrt
+
+
 def bench_cfg520(results):
     """Original Chatterbox 520M: llama backbone, CFG batch-2, 10-step CFM."""
     from chatterbox_tpu.models.t3.config import T3Config
@@ -262,7 +379,7 @@ def bench_cfg520(results):
     xrt = audio_sec / min(totals)
     _log(f"520M CFG (sync-free pipeline): {min(totals):.3f}s → {xrt:.2f}x realtime")
     results["cfg520_xrt"] = xrt
-    return dict(engine=engine, ref=ref)
+    return dict(engine=engine, ref=ref, t3_params=t3_params)
 
 
 def bench_vc(results, cfg_ctx):
@@ -364,6 +481,138 @@ def _bench_batchN(results, ctx, B):
     results[f"batch{B}_xrt"] = xrt
 
 
+def bench_stream_b4(results, ctx):
+    """p50 time-to-first-audio with FOUR concurrent streaming requests
+    sharing the continuous slot machine (one batched decode serves all four;
+    each request's audio streams from its own slot as it advances). The
+    reference serves one request at a time, total (ref:
+    gradio_tts_app.py:90-93)."""
+    from chatterbox_tpu.models.t3 import model as t3m
+    from chatterbox_tpu.sampling.continuous import ContinuousTTSServer
+    from chatterbox_tpu.serve.batching import TTSRequest
+
+    hp, t3_params, engine, ref = (ctx["hp"], ctx["t3_params"], ctx["engine"],
+                                  ctx["ref"])
+    N, B = 250, 4
+    cond = t3m.T3CondArrays(
+        speaker_emb=jnp.zeros((1, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((1, hp.speech_cond_prompt_len),
+                                            jnp.int32),
+        emotion_adv=None,
+    )
+    srv = ContinuousTTSServer(t3_params, hp, n_slots=B, text_bucket=32,
+                              max_new_tokens=N, chunk=25, top_k=1000,
+                              s3gen=engine, stream_chunk=25)
+
+    def run(n_req, seed0):
+        t_first = {}
+        t_sub = {}
+
+        def make_cb(rid):
+            def cb(chunk, final):
+                if rid not in t_first and len(chunk):
+                    t_first[rid] = time.perf_counter() - t_sub[rid]
+            return cb
+
+        for i in range(n_req):
+            rid = seed0 + i
+            req = TTSRequest(text_tokens=np.ones((30,), np.int32),
+                             cond=cond, request_id=rid, seed=rid, ref=ref)
+            t_sub[rid] = time.perf_counter()
+            srv.submit(req, on_chunk=make_cb(rid))
+        while srv.serve_round():
+            pass
+        return [t_first[r] * 1e3 for r in sorted(t_first)]
+
+    _log("compiling concurrent-streaming path (1 throwaway stream) ...")
+    run(1, 100)
+    _log("warming the 4-stream round programs ...")
+    run(B, 200)        # first concurrent pass may still hit stragglers
+    _log("measuring 4 concurrent streaming requests ...")
+    ttfas = run(B, 300)
+    p50 = float(np.median(ttfas))
+    _log(f"stream b4: per-request TTFA {[round(t) for t in ttfas]} ms "
+         f"→ p50 {p50:.0f} ms")
+    results["stream_ttfa_b4_ms"] = p50
+
+
+def bench_mtl(results, cfg_ctx):
+    """BASELINE config 3: Multilingual V3 cross-language — the timed region
+    includes the REAL text frontend (punc_norm → MTLTokenizer with the
+    Korean jamo normalizer → SOT/EOT framing), not just 520M compute.
+    Uses the MTL T3 config (2454-entry text vocab, ref: t3_config.py:13)."""
+    from chatterbox_tpu.models.t3.config import T3Config
+    from chatterbox_tpu.models.t3 import model as t3m
+    from chatterbox_tpu.sampling.decode import t3_generate
+    from chatterbox_tpu.text.tokenizer import MTLTokenizer, punc_norm, korean_normalize
+    from chatterbox_tpu.api.pipelines import _frame_text_tokens
+    from chatterbox_tpu.ops.sampling import SamplerParams
+    from chatterbox_tpu.utils.dtypes import cast_params
+    import tempfile
+
+    # a real `tokenizers` BPE over jamo-decomposed Korean (the shipped vocab
+    # is a checkpoint asset; this one exercises the same code path)
+    from tokenizers import Tokenizer, models, trainers, pre_tokenizers
+    ko = "안녕하세요 오늘 날씨가 정말 좋네요 한국어 음성 합성 테스트입니다"
+    tok = Tokenizer(models.BPE(unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.train_from_iterator(
+        [korean_normalize(ko) * 3, "[ko] [SPACE]"],
+        trainers.BpeTrainer(vocab_size=300, special_tokens=[
+            "[START]", "[STOP]", "[UNK]", "[SPACE]", "[ko]"]))
+    with tempfile.TemporaryDirectory() as d:
+        tok.save(f"{d}/tokenizer.json")
+        mtl_tok = MTLTokenizer(f"{d}/tokenizer.json")
+
+    hp = T3Config.multilingual()
+    use_int8 = os.environ.get("CHATTERBOX_BENCH_BF16") != "1"
+    _log(f"building MTL T3 (llama 2454-text-vocab, int8={use_int8}) ...")
+    t3_params = cast_params(t3m.t3_init(jax.random.key(30), hp), jnp.bfloat16)
+    if use_int8:
+        from chatterbox_tpu.utils.quantize import (best_serving_mode,
+                                                   quantize_t3_backbone)
+        t3_params = quantize_t3_backbone(t3_params,
+                                         mode=best_serving_mode(hp.backbone))
+    engine, ref = cfg_ctx["engine"], cfg_ctx["ref"]
+    cond = t3m.T3CondArrays(
+        speaker_emb=jnp.zeros((1, 256)),
+        cond_prompt_speech_tokens=jnp.zeros((1, hp.speech_cond_prompt_len),
+                                            jnp.int32),
+        emotion_adv=0.5 * jnp.ones((1, 1, 1)),
+    )
+    sp = SamplerParams.make(temperature=0.8, top_p=1.0, min_p=0.05,
+                            repetition_penalty=1.2, cfg_weight=0.5)
+    N_TOKENS = 250
+
+    def step(seed):
+        t0 = time.perf_counter()
+        # full MTL text frontend in the timed region (ref: mtl_tts.py:280-355)
+        text = punc_norm(ko, variant="mtl")
+        ids = np.asarray(mtl_tok.text_to_tokens(text, language_id="ko"),
+                         np.int32).reshape(-1) % hp.text_tokens_dict_size
+        text_tokens, n_text = _frame_text_tokens(ids, hp)
+        res = t3_generate(t3_params, hp, cond, jnp.asarray(text_tokens),
+                          jnp.asarray(n_text), sp, jax.random.key(seed),
+                          max_new_tokens=N_TOKENS, cfg_mode=True,
+                          ignore_eos=True)
+        wav, n_gen = engine.inference_from_decode(
+            res.tokens, res.n_tokens, ref, jax.random.key(seed + 1000),
+            cfg_slice=False, append_sil=0, vocab=hp.speech_tokens_dict_size,
+            budget=N_TOKENS)
+        wav = np.asarray(wav).reshape(-1)[:-960]   # MTL 40 ms final-token trim
+        assert np.isfinite(wav).all()              # (ref: mtl_tts.py:349-352)
+        return time.perf_counter() - t0, n_gen
+
+    _log("compiling MTL CFG decode + fused handoff ...")
+    step(0)
+    runs = [step(i + 1) for i in range(2)]
+    tot = min(r[0] for r in runs)
+    xrt = (runs[-1][1] / 25.0) / tot
+    _log(f"MTL ko: {tot:.3f}s for {runs[-1][1] / 25.0:.0f}s audio "
+         f"→ {xrt:.2f}x realtime")
+    results["mtl_xrt"] = xrt
+
+
 NANO_CPU_TOKENS = 125
 
 
@@ -461,12 +710,26 @@ def main():
             cfg_ctx.update(bench_cfg520({}))
         bench_vc(results, cfg_ctx)
 
+    def run_cfg520_long():
+        if not cfg_ctx:
+            cfg_ctx.update(bench_cfg520({}))
+        bench_cfg520_long(results, cfg_ctx)
+
+    def run_mtl():
+        if not cfg_ctx:
+            cfg_ctx.update(bench_cfg520({}))
+        bench_mtl(results, cfg_ctx)
+
     extras = [
         ("ttfa", lambda: bench_ttfa(results, ctx)),
+        ("turbo_long", lambda: bench_turbo_long(results, ctx)),
         ("batch8", lambda: _bench_batchN(results, ctx, 8)),
         ("cfg520", run_cfg520),
+        ("cfg520_long", run_cfg520_long),
         ("vc", run_vc),
+        ("stream_b4", lambda: bench_stream_b4(results, ctx)),
         ("turbo_bf16", lambda: bench_turbo_bf16(results, ctx)),
+        ("mtl", run_mtl),
         ("batch16", lambda: _bench_batchN(results, ctx, 16)),
         ("nano_cpu", lambda: bench_nano_cpu(results)),
         ("batch32", lambda: _bench_batchN(results, ctx, 32)),
@@ -483,6 +746,17 @@ def main():
     emitters = {
         "ttfa": lambda: _emit("ttfa_ms", results["ttfa_ms"], "ms",
                               200.0 / results["ttfa_ms"]),
+        "turbo_long": lambda: _emit("turbo_long_xrt",
+                                    results["turbo_long_xrt"], "x_realtime",
+                                    results["turbo_long_xrt"] / 20.0),
+        "cfg520_long": lambda: _emit("cfg520_long_xrt",
+                                     results["cfg520_long_xrt"], "x_realtime",
+                                     results["cfg520_long_xrt"] / 10.0),
+        "stream_b4": lambda: _emit("stream_ttfa_b4_ms",
+                                   results["stream_ttfa_b4_ms"], "ms",
+                                   200.0 / results["stream_ttfa_b4_ms"]),
+        "mtl": lambda: _emit("mtl_xrt", results["mtl_xrt"], "x_realtime",
+                             results["mtl_xrt"] / 10.0),
         "batch8": lambda: _emit("batch8_xrt", results["batch8_xrt"],
                                 "x_realtime_aggregate",
                                 results["batch8_xrt"] / 20.0),
@@ -512,7 +786,9 @@ def main():
             emitters[name]()
         except Exception as e:          # never lose the primary metric
             _log(f"{name} benchmark failed: {e!r}")
-        # keep the final-line-is-primary contract at any kill point
+        # keep the tail self-contained at any kill point: full summary line,
+        # then the primary as the LAST line (the driver parses the final line)
+        _emit_summary(results)
         _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
               results["turbo_xrt"] / 20.0)
 

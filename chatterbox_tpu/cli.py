@@ -171,11 +171,14 @@ def _cmd_watermark(args):
     sr = 24000
     wav = load_audio(args.wav, sr)
     wm = SpreadSpectrumWatermarker(key=args.key)
-    z = wm.detection_score(wav, sr)
+    z, payload = wm.detect(wav, sr)
+    detected = bool(z >= DETECT_Z)
     print(json.dumps({"file": args.wav,
-                      "detected": bool(z >= DETECT_Z),
+                      "detected": detected,
                       "score_z": round(float(z), 2),
-                      "threshold_z": DETECT_Z}))
+                      "threshold_z": DETECT_Z,
+                      # 16-bit generator id (meaningful only when detected)
+                      "payload": f"{payload:#06x}" if detected else None}))
 
 
 class _NormTok:

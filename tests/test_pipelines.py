@@ -92,6 +92,25 @@ class TestTurboPipeline:
         assert out.ndim == 2 and out.shape[0] == 1 and out.shape[1] > 0
         assert np.isfinite(out).all()
 
+    def test_generate_with_int8_self_draft(self, model, tmp_path):
+        """`draft="int8"`: the model's own int8-quantized weights draft,
+        the float model verifies — lossless speculative mode. The quant
+        view is built once and shares conditionals with the target."""
+        from chatterbox_tpu.utils.audio_io import save_wav
+        wav_path = tmp_path / "ref_qdraft.wav"
+        save_wav(str(wav_path), _make_ref_wav(6), 24000)
+        out = model.generate("Hello there.", audio_prompt_path=str(wav_path),
+                             max_new_tokens=8, top_k=50, draft="int8",
+                             n_draft=3)
+        assert out.ndim == 2 and out.shape[0] == 1 and out.shape[1] > 0
+        assert np.isfinite(out).all()
+        view = model._qdraft
+        assert view is not None and view.conds is model.conds
+        out2 = model.generate("Hello again.", max_new_tokens=8, top_k=50,
+                              draft="int8", n_draft=3)
+        assert model._qdraft is view        # cached, not rebuilt
+        assert np.isfinite(out2).all()
+
     def test_conditionals_save_load(self, model, tmp_path):
         path = tmp_path / "conds.npz"
         model.conds.save(str(path))

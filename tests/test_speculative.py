@@ -78,6 +78,32 @@ class TestSpeculative:
         # every accepted draft saves a round: rounds well under n_tokens
         assert int(spec.n_rounds) <= 12
 
+    def test_quantized_self_draft_acceptance(self, setup):
+        """draft := int8-quantized target (tools/perf_spec.py --quant-draft):
+        the draft/target gap is only the quantization error, so acceptance
+        must sit far above the independent-draft floor (~0 on random
+        weights) — this is the correlated-draft regime the DESIGN.md
+        speculative verdict is based on."""
+        from chatterbox_tpu.utils.quantize import quantize_tree
+        hp, params, _, cond, text, tlen = setup
+        qdraft = dict(params)
+        qdraft["backbone"] = dict(params["backbone"])
+        # tiny-config weights are below quantize_t3_backbone's min_size
+        # cutoff; quantize with min_size=1 so the draft really is perturbed
+        qdraft["backbone"]["layers"] = quantize_tree(
+            params["backbone"]["layers"], min_size=1, mode="int8")
+        assert "w_q" in str(jax.tree_util.tree_structure(
+            qdraft["backbone"]["layers"]))  # perturbation actually applied
+        sp = SamplerParams.make(temperature=0.8, top_p=0.95,
+                                repetition_penalty=1.2, cfg_weight=0.0)
+        spec = t3_generate_speculative(
+            params, qdraft, hp, hp, cond, cond, text, tlen, sp,
+            jax.random.key(8), max_new_tokens=32, n_draft=4, top_k=50,
+            ignore_eos=True)
+        assert int(spec.n_tokens) == 32
+        rate = int(spec.n_accepted) / max(int(spec.n_drafted), 1)
+        assert rate > 0.5, f"quantized-self-draft acceptance {rate}"
+
     def test_sampling_valid_stream(self, setup):
         hp, params, draft, cond, text, tlen = setup
         sp = SamplerParams.make(temperature=0.8, top_p=0.95,

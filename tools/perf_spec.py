@@ -15,7 +15,17 @@ checkpoints are available, `--self-draft` sanity (α≈1) and the real pair's
 observed acceptance (SpecResult.n_accepted/n_drafted) turn the projection
 into a measurement with one run.
 
-Usage: python tools/perf_spec.py [--tokens 250] [--k 2 4 8] [--self-draft]
+`--quant-draft int8|int4` makes the draft the TARGET'S OWN quantized
+weights (target stays bf16): the draft/target disagreement is then exactly
+the quantization perturbation — the same kind real checkpoints see — so the
+OBSERVED acceptance is meaningful on random weights, unlike the independent
+Nano draft. The draft step costs a full-size (quantized) forward, so this
+also directly measures the "bf16 quality at int8-ish speed" deployment:
+worthwhile iff tok/s beats BOTH the sequential bf16 target and the plain
+int8 engine.
+
+Usage: python tools/perf_spec.py [--tokens 250] [--k 2 4 8]
+       [--self-draft | --quant-draft int8]
 """
 import argparse
 import os
@@ -64,16 +74,32 @@ def main():
     ap.add_argument("--k", type=int, nargs="+", default=[2, 4, 8])
     ap.add_argument("--self-draft", action="store_true",
                     help="draft := target params (α≈1 sanity; doubles draft cost)")
+    ap.add_argument("--quant-draft", choices=["int8", "int4"],
+                    help="draft := the target's own weights quantized to this "
+                         "mode, target stays bf16 — a CORRELATED draft whose "
+                         "acceptance is measurable on random weights (the "
+                         "quantization error is the same perturbation real "
+                         "checkpoints would see), at the cost of a full-size "
+                         "draft step")
     ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     hp_t, hp_d = T3Config.turbo(), T3Config.nano()
-    print(f"building Turbo target + Nano draft (int8={not args.bf16}) ...",
-          file=sys.stderr)
-    params_t = build(hp_t, jax.random.key(0), int8=not args.bf16)
-    params_d = (params_t if args.self_draft
-                else build(hp_d, jax.random.key(1), int8=not args.bf16))
-    hp_d = hp_t if args.self_draft else hp_d
+    if args.quant_draft:
+        print(f"building Turbo bf16 target + {args.quant_draft}-quantized "
+              "self-draft ...", file=sys.stderr)
+        params_t = build(hp_t, jax.random.key(0), int8=False)
+        params_d = quantize_t3_backbone(
+            params_t, mode=("int8_fused" if args.quant_draft == "int8"
+                            else "int4_fused"))
+        hp_d = hp_t
+    else:
+        print(f"building Turbo target + Nano draft (int8={not args.bf16}) ...",
+              file=sys.stderr)
+        params_t = build(hp_t, jax.random.key(0), int8=not args.bf16)
+        params_d = (params_t if args.self_draft
+                    else build(hp_d, jax.random.key(1), int8=not args.bf16))
+        hp_d = hp_t if args.self_draft else hp_d
     cond_t, cond_d = cond_for(hp_t), cond_for(hp_d)
     text = jnp.zeros((1, 32), jnp.int32)
     tlen = jnp.asarray(30)

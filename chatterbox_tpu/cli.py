@@ -36,6 +36,12 @@ def _build_synth(sub):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--stream", action="store_true",
                    help="turbo/nano: stream chunks (prints TTFA)")
+    p.add_argument("--draft", choices=["int8"], default=None,
+                   help="turbo/nano, non-stream: lossless speculative "
+                        "decode — the model's own int8-quantized weights "
+                        "draft, the float model verifies; measured +23%% "
+                        "tok/s over sequential bf16 with the bf16 sampling "
+                        "distribution preserved exactly (DESIGN.md r4)")
 
 
 def _cmd_synth(args):
@@ -65,6 +71,8 @@ def _cmd_synth(args):
                 chunks.append(c)
             wav = np.concatenate(chunks)[None]
         else:
+            if args.draft:
+                kw["draft"] = args.draft
             wav = model.generate(args.text, **kw)
     elif args.model == "english":
         from chatterbox_tpu import ChatterboxTTS

@@ -40,6 +40,11 @@ def pow2_sizes(n: int) -> list:
     return sizes
 
 
+# serving threads whose stop() join timed out (still finishing a compile);
+# test harnesses drain these before the next test starts compiling
+LINGERING_THREADS: list = []
+
+
 @dataclasses.dataclass
 class TTSRequest:
     text_tokens: np.ndarray            # (Lt,) token ids — raw BPE (turbo) or
@@ -247,13 +252,23 @@ class ServingLoop:
         self._q.put(req)
 
     def start(self):
-        self._thread = threading.Thread(target=self._run, daemon=True)
+        # the "chatterbox-" prefix lets test harnesses find and drain these
+        # loops between tests (a loop mid-compile can outlive stop()'s
+        # bounded join and race XLA from the background)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="chatterbox-serving-loop")
         self._thread.start()
 
     def stop(self):
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+            if self._thread.is_alive():
+                # a loop stuck in a long XLA compile outlives the bounded
+                # join; register it so harnesses can wait it out before
+                # compiling elsewhere (concurrent compile + serialize in
+                # XLA:CPU has been observed to SIGSEGV)
+                LINGERING_THREADS.append(self._thread)
 
     def _vocode_keys(self, batch: list[TTSRequest]):
         """(B,) stacked keys: seeded requests get a seed-derived key (audio
@@ -349,13 +364,23 @@ class ContinuousServingLoop:
         self._q.put((req, on_chunk))
 
     def start(self):
-        self._thread = threading.Thread(target=self._run, daemon=True)
+        # the "chatterbox-" prefix lets test harnesses find and drain these
+        # loops between tests (a loop mid-compile can outlive stop()'s
+        # bounded join and race XLA from the background)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="chatterbox-serving-loop")
         self._thread.start()
 
     def stop(self):
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+            if self._thread.is_alive():
+                # a loop stuck in a long XLA compile outlives the bounded
+                # join; register it so harnesses can wait it out before
+                # compiling elsewhere (concurrent compile + serialize in
+                # XLA:CPU has been observed to SIGSEGV)
+                LINGERING_THREADS.append(self._thread)
 
     def _drain(self, block: bool) -> None:
         """Move queued requests into the slot machine's pending list. Blocks

@@ -650,9 +650,15 @@ class TTSHTTPServer:
     def start(self):
         self.loop.start()
         self._serve_thread = threading.Thread(
-            target=self._httpd.serve_forever, daemon=True)
+            target=self._httpd.serve_forever, daemon=True,
+            name="chatterbox-http-server")
         self._serve_thread.start()
 
     def stop(self):
         self._httpd.shutdown()
         self.loop.stop()
+        if getattr(self, "_serve_thread", None) is not None:
+            self._serve_thread.join(timeout=30)
+            if self._serve_thread.is_alive():
+                from .batching import LINGERING_THREADS
+                LINGERING_THREADS.append(self._serve_thread)

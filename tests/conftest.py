@@ -28,3 +28,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _drain_chatterbox_threads():
+    """Full-suite segfault guard: a serving-loop thread stuck in a long
+    XLA:CPU compile can outlive stop()'s bounded join, keep compiling in
+    the background, and race a later test's executable.serialize() inside
+    the persistent-cache write (observed as a flaky SIGSEGV in
+    jax compilation_cache put_executable_and_time). stop() registers any
+    thread whose join timed out (serve/batching.py LINGERING_THREADS);
+    wait those out before the next test starts compiling. Threads alive by
+    design (module-scoped servers, not yet stopped) are left alone."""
+    yield
+    from chatterbox_tpu.serve.batching import LINGERING_THREADS
+    while LINGERING_THREADS:
+        t = LINGERING_THREADS.pop()
+        if t.is_alive():
+            t.join(timeout=300)

@@ -12,7 +12,11 @@ stage runs independently and reports PASS / FAIL / SKIP(reason):
                     style, so its heavy optional deps aren't needed)
   3. int8-ab      — tools/ab_int8.py-style logit error of the int8 serving
                     configs on the real weights
-  4. synth        — one wav per pipeline into --out (listen + watermark
+  4. spec-accept  — the real Turbo/Nano pair's speculative acceptance α
+                    (needs --nano-dir); v5e break-even is α=0.86, so this
+                    one number decides whether the Nano draft ships as the
+                    default serving config (DESIGN.md round-4 verdict)
+  5. synth        — one wav per pipeline into --out (listen + watermark
                     detect check)
 
 Usage:
@@ -109,6 +113,15 @@ def check_convert_turbo(args):
     return "loaded"
 
 
+@stage("convert: nano")
+def check_convert_nano(args):
+    from chatterbox_tpu.api.pipelines import ChatterboxTurboTTS
+    if not args.nano_dir:
+        raise SkipStage("pass --nano-dir to run the spec-accept stage")
+    args._nano = ChatterboxTurboTTS.from_local(args.nano_dir, nano=True)
+    return "loaded"
+
+
 @stage("t3-parity: teacher-forced logits vs torch reference")
 def check_t3_parity(args):
     """Runs the reference's own torch T3 with the real weights and compares
@@ -198,6 +211,37 @@ def check_int8(args):
     return f"near-greedy token agreement bf16-vs-int8: {same:.3f} (want ≥0.95)"
 
 
+@stage("spec-accept: real Turbo/Nano draft acceptance (ship-or-kill input)")
+def check_spec_acceptance(args):
+    """Measures the ONE number the r4 speculative verdict is pending on:
+    the real checkpoint pair's acceptance rate α. Break-even on v5e is
+    α=0.86 at K=4/8 (DESIGN.md round-4 table) — at or above that the Nano
+    draft becomes the default Turbo serving config; below it stays off."""
+    if getattr(args, "_turbo", None) is None:
+        raise SkipStage("turbo pipeline did not load")
+    if getattr(args, "_nano", None) is None:
+        raise SkipStage("nano pipeline did not load (--nano-dir/--download)")
+    import jax
+    import jax.numpy as jnp
+    from chatterbox_tpu.ops.sampling import SamplerParams
+    from chatterbox_tpu.sampling.speculative import t3_generate_speculative
+    t, d = args._turbo, args._nano
+    if t.conds is None or d.conds is None:
+        raise SkipStage("no built-in conds.pt voice to condition on")
+    sp = SamplerParams.make(temperature=0.8, top_p=0.95,
+                            repetition_penalty=1.2, cfg_weight=0.0)
+    text = jnp.zeros((1, 32), jnp.int32)
+    res = t3_generate_speculative(
+        t.t3_params, d.t3_params, t.hp, d.hp,
+        t.conds.t3.as_arrays(), d.conds.t3.as_arrays(),
+        text, jnp.asarray(30), sp, jax.random.key(0),
+        max_new_tokens=250, n_draft=4, top_k=1000, ignore_eos=True)
+    alpha = int(res.n_accepted) / max(int(res.n_drafted), 1)
+    verdict = ("SHIP as default (>= 0.86 break-even)" if alpha >= 0.86
+               else "keep opt-in (< 0.86 break-even)")
+    return f"α_obs={alpha:.3f} over {int(res.n_drafted)} drafts → {verdict}"
+
+
 @stage("synth: one wav per pipeline + watermark detect")
 def check_synth(args):
     from chatterbox_tpu.utils.audio_io import save_wav
@@ -225,17 +269,22 @@ def main():
                     help="directory with the English-family checkpoint files")
     ap.add_argument("--turbo-dir", default=None,
                     help="directory with the Turbo checkpoint files")
+    ap.add_argument("--nano-dir", default=None,
+                    help="directory with the Nano checkpoint files "
+                         "(enables the spec-accept stage)")
     ap.add_argument("--download", action="store_true",
                     help="fetch from HF (needs network)")
     ap.add_argument("--out", default="/tmp/real_weights_wavs")
     args = ap.parse_args()
-    args._english = args._turbo = None
+    args._english = args._turbo = args._nano = None
 
     check_s3tok_drymap(args)
     check_convert_english(args)
     check_convert_turbo(args)
+    check_convert_nano(args)
     check_t3_parity(args)
     check_int8(args)
+    check_spec_acceptance(args)
     check_synth(args)
 
 

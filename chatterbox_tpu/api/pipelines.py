@@ -436,7 +436,13 @@ class ChatterboxTurboTTS(_TTSBase):
             (+23 %) while keeping the bf16 sampling distribution EXACTLY.
             The plain int8 engine is still faster (1384 tok/s) at int8
             quality; this is the lossless middle point. Requires unquantized
-            (float) t3 params."""
+            (float) t3 params. NOTE: speculative decode runs on the
+            full-capacity (non-bucketed) KV cache and ignores kv_int8 —
+            combining them warns and drops both knobs."""
+        if draft is not None and kv_int8:
+            logger.warning("kv_int8 is ignored when draft= is set: "
+                           "speculative decode runs on the non-bucketed "
+                           "bf16 KV cache")
         if draft == "int8":
             draft = self._quantized_self_draft()
         if audio_prompt_path:

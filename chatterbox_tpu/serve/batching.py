@@ -45,6 +45,15 @@ def pow2_sizes(n: int) -> list:
 LINGERING_THREADS: list = []
 
 
+def register_lingering(thread) -> None:
+    """Record a thread whose stop() join timed out. Dead entries are pruned
+    on every append so a long-lived serving process with repeated stop()
+    timeouts (e.g. HTTP server restarts) can't accumulate Thread objects
+    (and their referents) without bound."""
+    LINGERING_THREADS[:] = [t for t in LINGERING_THREADS if t.is_alive()]
+    LINGERING_THREADS.append(thread)
+
+
 @dataclasses.dataclass
 class TTSRequest:
     text_tokens: np.ndarray            # (Lt,) token ids — raw BPE (turbo) or
@@ -268,7 +277,7 @@ class ServingLoop:
                 # join; register it so harnesses can wait it out before
                 # compiling elsewhere (concurrent compile + serialize in
                 # XLA:CPU has been observed to SIGSEGV)
-                LINGERING_THREADS.append(self._thread)
+                register_lingering(self._thread)
 
     def _vocode_keys(self, batch: list[TTSRequest]):
         """(B,) stacked keys: seeded requests get a seed-derived key (audio
@@ -380,7 +389,7 @@ class ContinuousServingLoop:
                 # join; register it so harnesses can wait it out before
                 # compiling elsewhere (concurrent compile + serialize in
                 # XLA:CPU has been observed to SIGSEGV)
-                LINGERING_THREADS.append(self._thread)
+                register_lingering(self._thread)
 
     def _drain(self, block: bool) -> None:
         """Move queued requests into the slot machine's pending list. Blocks

@@ -660,5 +660,5 @@ class TTSHTTPServer:
         if getattr(self, "_serve_thread", None) is not None:
             self._serve_thread.join(timeout=30)
             if self._serve_thread.is_alive():
-                from .batching import LINGERING_THREADS
-                LINGERING_THREADS.append(self._serve_thread)
+                from .batching import register_lingering
+                register_lingering(self._serve_thread)

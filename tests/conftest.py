@@ -48,3 +48,10 @@ def _drain_chatterbox_threads():
         t = LINGERING_THREADS.pop()
         if t.is_alive():
             t.join(timeout=300)
+            if t.is_alive():
+                # do NOT silently drop a still-alive thread — that would
+                # disarm the segfault guard for every later test. Re-register
+                # and fail loudly so the race can't recur unnoticed.
+                LINGERING_THREADS.append(t)
+                pytest.fail(f"serving thread {t.name} still alive after a "
+                            f"300 s drain — segfault guard cannot proceed")

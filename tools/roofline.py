@@ -130,7 +130,10 @@ def decode_stage(name, hp, params, cond, sp, N, cfg_mode, rows):
     st = t3_prefill(params, hp, cond, text, tlen, key,
                     max_new_tokens=N, cfg_mode=cfg_mode)
     pfl = int(st.prefill_len)
-    kv_width = cfg.num_layers * 2 * (cfg.num_heads * cfg.head_dim) * 2  # bf16
+    # GQA-aware: KV rows are num_kv_heads wide (== num_heads for the
+    # current gpt2/520M-llama configs, but don't overstate a GQA backbone)
+    kv_heads = getattr(cfg, "num_kv_heads", None) or cfg.num_heads
+    kv_width = cfg.num_layers * 2 * (kv_heads * cfg.head_dim) * 2  # bf16
     kv_bytes = rows * kv_width * (pfl + N / 2)
     total = w_bytes + kv_bytes
     floor_ms = total / (HBM_GBS * 1e9) * 1e3

@@ -252,6 +252,81 @@ class _TTSBase:
         wav = self.watermarker.apply_watermark(wav[0], sample_rate=self.sr)
         return wav, n_gen
 
+    def _stream_cfg(self, text_tokens, n_text, sp, *, max_new_tokens,
+                    chunk_tokens, top_k=0, trim_tail_samples=0):
+        """Shared CFG-family streaming loop (ChatterboxTTS /
+        ChatterboxMultilingualTTS generate_stream): prefill + first chunk
+        fused into one dispatch, then chunked cfg decode feeding the
+        streaming vocoder through the sync-free device handoff.
+
+        Truncation is progressive first-EOS (the decode row stops at its
+        first EOS; the device-side `>= vocab` filter drops specials, incl. a
+        stray SOS token itself) — identical to the reference's
+        slice-at-SOS/EOS tail (ref: models/s3tokenizer/__init__.py:11-30) on
+        any stream a real checkpoint produces; a mid-stream SOS (random-
+        weight territory) cannot retroactively drop already-streamed audio,
+        so those tokens are kept. Empty streams fall back to one silence
+        token, matching the non-streamed engine's empty-output fallback
+        (models/s3gen/model.py _pack_from_decode).
+
+        trim_tail_samples: samples held back and dropped from the stream's
+        END (the MTL pipeline's 40 ms final-token trim, ref:
+        mtl_tts.py:348-352); 0 streams everything."""
+        from ..sampling.chunked import t3_prefill_decode, t3_decode_chunk
+        from ..serve.streaming import StreamingVocoder
+        from ..models.s3gen.model import SIL_TOKEN
+
+        state, toks, n_new = t3_prefill_decode(
+            self.t3_params, self.hp, self.conds.t3.as_arrays(),
+            jnp.asarray(text_tokens), jnp.asarray(n_text), sp,
+            self._next_key(), max_new_tokens=max_new_tokens,
+            n_steps=chunk_tokens, top_k=top_k, cfg_mode=True)
+        voc = StreamingVocoder(self.s3gen, self.conds.gen, self._next_key())
+        total = n_valid = 0
+        emitted_samples = 0
+        holdback = np.zeros((0,), np.float32)   # tail-trim delay buffer
+        first = True
+        while total < max_new_tokens:
+            if first:
+                first = False
+            else:
+                state, toks, n_new = t3_decode_chunk(
+                    self.t3_params, self.hp, state, sp, n_steps=chunk_tokens,
+                    top_k=top_k, cfg_mode=True)
+            # clamp to the remaining budget: a chunk boundary may overshoot
+            # max_new_tokens (rounds decode n_steps at a time) and the
+            # one-shot path those tokens must byte-match never decodes them
+            n_budget = jnp.minimum(n_new, max_new_tokens - total)
+            chunk, nv, (n_raw, st_done) = voc.feed_from_decode(
+                toks, n_budget, vocab=SPEECH_VOCAB_SIZE,
+                extra_fetch=(n_budget, state.done))
+            n = int(n_raw)
+            n_valid += int(nv)
+            done = bool(st_done) or (total + n >= max_new_tokens) or n == 0
+            total += n
+            if done:
+                # no appended silence (the CFG tail vocodes the sliced
+                # tokens alone, ref: tts.py:260-264); empty stream → the
+                # engine's one-silence-token fallback
+                tail_toks = (np.zeros((0,), np.int32) if n_valid
+                             else np.full(1, SIL_TOKEN, np.int32))
+                tail = voc.feed(tail_toks, final=True)
+                chunk = np.concatenate([chunk, tail]) if len(chunk) else tail
+            if len(chunk):
+                holdback = np.concatenate([holdback, chunk])
+            # hold back the tail trim until the stream ends; the non-streamed
+            # MTL pipeline keeps max(1, n-1) tokens, so streams of <=1 valid
+            # token are not trimmed
+            trim = trim_tail_samples if (not done or n_valid >= 2) else 0
+            emit_upto = len(holdback) - trim
+            if emit_upto > 0:
+                out, holdback = holdback[:emit_upto], holdback[emit_upto:]
+                yield self.watermarker.apply_watermark(
+                    out, sample_rate=self.sr, offset=emitted_samples)
+                emitted_samples += len(out)
+            if done:
+                break
+
 
 class ChatterboxTTS(_TTSBase):
     """English 520M CFG pipeline (ref: tts.py:106-272)."""
@@ -331,6 +406,33 @@ class ChatterboxTTS(_TTSBase):
         wav, _ = self._decode_to_wav(res, cfg_slice=True,
                                      budget=max_new_tokens)
         return wav[None]
+
+    def generate_stream(self, text, audio_prompt_path=None, exaggeration=0.5,
+                        cfg_weight=0.5, temperature=0.8,
+                        repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+                        max_new_tokens=1000, chunk_tokens=25):
+        """Streaming synthesis for the 520M CFG pipeline: yields wav chunks
+        as tokens decode (the reference streams nothing — this extends
+        generate()'s semantics with progressive first-EOS truncation, see
+        _TTSBase._stream_cfg)."""
+        if audio_prompt_path:
+            self.prepare_conditionals(audio_prompt_path,
+                                      exaggeration=exaggeration)
+        else:
+            assert self.conds is not None, \
+                "Please `prepare_conditionals` first or specify `audio_prompt_path`"
+        if exaggeration != self.conds.t3.emotion_adv:
+            self.conds.t3.emotion_adv = exaggeration
+        text = punc_norm(text)
+        ids = self.tokenizer.text_to_tokens(text)
+        text_tokens, n_text = _frame_text_tokens(ids, self.hp)
+        sp = SamplerParams.make(temperature=temperature, top_p=top_p,
+                                min_p=min_p,
+                                repetition_penalty=repetition_penalty,
+                                cfg_weight=cfg_weight)
+        yield from self._stream_cfg(text_tokens, n_text, sp,
+                                    max_new_tokens=max_new_tokens,
+                                    chunk_tokens=chunk_tokens)
 
 
 class ChatterboxTurboTTS(_TTSBase):
@@ -554,9 +656,12 @@ class ChatterboxTurboTTS(_TTSBase):
             # sync-free feed: the vocode dispatch rides the decode dispatch
             # with no token fetch in between (device-resident token row);
             # audio + counts + done come back in ONE device_get per chunk
+            # clamp to the remaining budget (a chunk may overshoot
+            # max_new_tokens when it isn't a multiple of chunk_tokens)
+            n_budget = jnp.minimum(n_new, max_new_tokens - total)
             chunk, _nv, (n_raw, st_done) = voc.feed_from_decode(
-                toks, n_new, vocab=SPEECH_VOCAB_SIZE,
-                extra_fetch=(n_new, state.done))
+                toks, n_budget, vocab=SPEECH_VOCAB_SIZE,
+                extra_fetch=(n_budget, state.done))
             n = int(n_raw)
             done = bool(st_done) or (total + n >= max_new_tokens) or n == 0
             total += n
@@ -657,6 +762,39 @@ class ChatterboxMultilingualTTS(_TTSBase):
         st_len = max(1, n_gen - 1)
         wav = wav[: st_len * (S3GEN_SR // 25)]
         return wav[None]
+
+    def generate_stream(self, text, language_id, audio_prompt_path=None,
+                        exaggeration=0.5, cfg_weight=0.5, temperature=0.8,
+                        repetition_penalty=1.2, min_p=0.05, top_p=1.0,
+                        max_new_tokens=1000, chunk_tokens=25):
+        """Streaming synthesis for the multilingual pipeline (progressive
+        first-EOS truncation, see _TTSBase._stream_cfg). The 40 ms final-
+        token trim (ref: mtl_tts.py:348-352) is applied by holding those
+        samples back until the stream ends."""
+        if language_id and language_id.lower() not in SUPPORTED_LANGUAGES:
+            supported = ", ".join(SUPPORTED_LANGUAGES)
+            raise ValueError(f"Unsupported language_id '{language_id}'. "
+                             f"Supported languages: {supported}")
+        if audio_prompt_path:
+            self.prepare_conditionals(audio_prompt_path,
+                                      exaggeration=exaggeration)
+        else:
+            assert self.conds is not None, \
+                "Please `prepare_conditionals` first or specify `audio_prompt_path`"
+        if float(exaggeration) != float(self.conds.t3.emotion_adv):
+            self.conds.t3.emotion_adv = float(exaggeration)
+        text = punc_norm(text, variant="mtl")
+        ids = self.tokenizer.text_to_tokens(
+            text, language_id=language_id.lower() if language_id else None)
+        text_tokens, n_text = _frame_text_tokens(ids, self.hp)
+        sp = SamplerParams.make(temperature=temperature, top_p=top_p,
+                                min_p=min_p,
+                                repetition_penalty=repetition_penalty,
+                                cfg_weight=cfg_weight)
+        yield from self._stream_cfg(text_tokens, n_text, sp,
+                                    max_new_tokens=max_new_tokens,
+                                    chunk_tokens=chunk_tokens,
+                                    trim_tail_samples=S3GEN_SR // 25)
 
 
 class ChatterboxVC:

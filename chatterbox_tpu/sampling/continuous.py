@@ -311,18 +311,21 @@ def grow_slot_cache(state: SlotStates, *, new_t_cap: int) -> SlotStates:
 class _SlotStream:
     """Per-slot streaming state: a StreamingVocoder fed at fixed token-count
     boundaries. The feed schedule is a pure function of the row's token
-    stream (feed every `stream_chunk` VALID tokens, final feed = remainder
-    + 3 silence tokens), so a request's chunk byte-stream is identical
-    whether it runs solo or beside concurrent streams (rows are already
-    batchmate-invariant — test_continuous.py)."""
+    stream (first feed at `first_chunk` VALID tokens, then every
+    `stream_chunk`; final feed = remainder + 3 silence tokens for Turbo,
+    remainder alone for the CFG family), so a request's chunk byte-stream
+    is identical whether it runs solo or beside concurrent streams (rows
+    are already batchmate-invariant — test_continuous.py)."""
 
-    __slots__ = ("voc", "cb", "fed_raw", "buf")
+    __slots__ = ("voc", "cb", "fed_raw", "buf", "next_feed", "n_valid")
 
-    def __init__(self, voc, cb):
+    def __init__(self, voc, cb, first_chunk: int):
         self.voc = voc
         self.cb = cb              # cb(chunk: np.ndarray, final: bool)
         self.fed_raw = 0          # raw tokens consumed from the slot row
         self.buf = np.zeros((0,), np.int32)   # valid tokens awaiting a feed
+        self.next_feed = first_chunk   # boundary for the NEXT feed
+        self.n_valid = 0          # total valid tokens seen (empty-stream edge)
 
 
 class ContinuousTTSServer:
@@ -342,13 +345,23 @@ class ContinuousTTSServer:
                  text_bucket: int = 64, max_new_tokens: int = 1000,
                  chunk: int = 16, top_k: int = 1000, seed: int = 0,
                  s3gen=None, cfg: bool = False, kv_int8: bool = False,
-                 stream_chunk: int = 25):
+                 stream_chunk: int = 25, first_chunk: Optional[int] = None):
         """cfg=True serves the 520M/MTL CFG family: each request occupies a
         cond/uncond physical row pair; text_tokens must arrive SOT/EOT-framed
         (the CFG pipelines' framing); per-request min_p/cfg_weight honored.
 
         stream_chunk: token granularity of streaming feeds (25 tokens = 1 s
-        of audio, matching the pipelines' generate_stream default)."""
+        of audio, matching the pipelines' generate_stream default).
+
+        first_chunk: token boundary of a stream's FIRST feed (default:
+        stream_chunk). A smaller first chunk (e.g. 12 ≈ 0.5 s of audio)
+        cuts concurrent-stream TTFA two ways: the first feed needs fewer
+        decoded tokens, and decode rounds shorten to first_chunk steps
+        while any stream is still waiting for its first audio (first-feed
+        prioritization in _dispatch_round). The feed schedule stays a pure
+        function of the row's token stream — first feed at first_chunk
+        valid tokens, then every stream_chunk — so chunk byte-streams
+        remain batchmate-invariant."""
         self.t3_params = t3_params
         self.hp = hp
         self.n_slots = n_slots
@@ -359,6 +372,12 @@ class ContinuousTTSServer:
         self.s3gen = s3gen
         self.cfg = cfg
         self.stream_chunk = stream_chunk
+        self.first_chunk = first_chunk or stream_chunk
+        from ..models.s3gen.flow import PRE_LOOKAHEAD_LEN
+        # a first feed at or under the vocoder lookahead yields NO audio —
+        # it would push first-audio PAST the plain schedule, not ahead of it
+        assert PRE_LOOKAHEAD_LEN < self.first_chunk <= stream_chunk, \
+            (self.first_chunk, stream_chunk)
         # opt-in int8 slot cache: decode rounds read it with the pallas
         # streamed-int8 kernel (quality A/B: tools/ab_int8.py)
         self.kv_int8 = kv_int8
@@ -393,18 +412,24 @@ class ContinuousTTSServer:
         on_chunk (optional): makes this a STREAMING request — a callable
         (chunk: float32 np.ndarray, final: bool) invoked from the serving
         loop as the request's audio is synthesized; chunks arrive every
-        `stream_chunk` decoded tokens (~1 s of audio each at the default).
-        The final call carries final=True (its chunk may be empty). Requires
-        an s3gen engine, a req.ref voice bundle, and the Turbo/Nano family
-        (cfg=False: the CFG family's SOS/EOS slice semantics are not
-        progressive — ref: tts.py:260)."""
+        `stream_chunk` decoded tokens (~1 s of audio each at the default;
+        the first after `first_chunk`). The final call carries final=True
+        (its chunk may be empty). Requires an s3gen engine and a req.ref
+        voice bundle. Works for BOTH families: the CFG family streams with
+        progressive first-EOS truncation — a token is final (and audible)
+        the moment it exists, since the decode row stops at its first EOS
+        and the <6561 filter drops specials (incl. a stray SOS token
+        itself). This matches the reference's slice-at-SOS/EOS tail
+        (ref: models/s3tokenizer/__init__.py:11-30) on every stream a real
+        checkpoint produces; the one divergence is a mid-stream SOS (random-
+        weight territory), where the sliced tail would retroactively drop
+        the tokens BEFORE the SOS — audio already streamed cannot be
+        retracted, so streaming keeps them. Streaming requests' harvested
+        token results use the same progressive semantics (self-consistent
+        with their audio)."""
         if on_chunk is not None:
             if self.s3gen is None:
                 raise ValueError("streaming requests need an s3gen engine")
-            if self.cfg:
-                raise ValueError(
-                    "streaming is Turbo/Nano-only: the CFG family's "
-                    "SOS/EOS token slicing cannot be applied progressively")
             if getattr(req, "ref", None) is None:
                 raise ValueError("streaming requests need req.ref "
                                  "(the voice's S3Gen RefDict)")
@@ -456,7 +481,8 @@ class ContinuousTTSServer:
                 else:
                     self._key, vk = jax.random.split(self._key)
                 self._slot_stream[slot] = _SlotStream(
-                    StreamingVocoder(self.s3gen, req.ref, vk), on_chunk)
+                    StreamingVocoder(self.s3gen, req.ref, vk), on_chunk,
+                    self.first_chunk)
 
     def _flush_vocode(self):
         """Fetch the previous round's batched vocode (its compute overlapped
@@ -468,13 +494,25 @@ class ContinuousTTSServer:
         for rid, w in zip(rids, self.s3gen.inference_batch_fetch(handle)):
             self.wavs[rid] = w
 
+    def _pop_blocks(self, st: _SlotStream):
+        """Whole feed blocks currently buffered (first_chunk, then
+        stream_chunk boundaries)."""
+        blocks = []
+        while len(st.buf) >= st.next_feed:
+            blocks.append(st.buf[: st.next_feed])
+            st.buf = st.buf[st.next_feed:]
+            st.next_feed = self.stream_chunk
+        return blocks
+
     def _stream_feed(self, done, steps, tokens, skip=()):
         """Advance every in-flight stream: pull the slot's newly decoded
         tokens out of this round's status snapshot (already fetched — no
-        extra sync) and feed the request's vocoder one `stream_chunk` block
-        at a time. Blocks of a DONE row are fed by _stream_finish in the
-        same harvest, so the feed schedule — hence the chunk byte-stream —
-        is a pure function of the row's token stream."""
+        extra sync) and collect the due feed blocks. Blocks of a DONE row
+        are collected by _finish_feeds in the same harvest, so the feed
+        schedule — hence the chunk byte-stream — is a pure function of the
+        row's token stream. Returns (st, block, final) feed tuples for
+        _run_feeds (nothing is dispatched here)."""
+        feeds = []
         for i in range(self.n_slots):
             st = self._slot_stream[i]
             if st is None or self._slot_req[i] is None or i in skip:
@@ -483,30 +521,53 @@ class ContinuousTTSServer:
             if avail > st.fed_raw:
                 raw = tokens[i, st.fed_raw: avail]
                 st.fed_raw = avail
-                st.buf = np.concatenate([st.buf,
-                                         raw[raw < 6561].astype(np.int32)])
+                valid = raw[raw < 6561].astype(np.int32)
+                st.n_valid += len(valid)
+                st.buf = np.concatenate([st.buf, valid])
             if done[i]:
                 continue
-            while len(st.buf) >= self.stream_chunk:
-                blk, st.buf = (st.buf[: self.stream_chunk],
-                               st.buf[self.stream_chunk:])
-                audio = st.voc.feed(blk)
-                if len(audio):
-                    st.cb(audio, False)
+            feeds += [(st, blk, False) for blk in self._pop_blocks(st)]
+        return feeds
 
-    def _stream_finish(self, st: _SlotStream):
-        """Retire a finished stream: drain whole chunks, then the final feed
-        (remainder + 3 silence tokens, ref: tts_turbo.py:308-311)."""
+    def _finish_feeds(self, st: _SlotStream):
+        """Feed tuples that retire a finished stream: drain whole chunks,
+        then the final feed — remainder + 3 silence tokens for Turbo
+        (ref: tts_turbo.py:308-311); for the CFG family the remainder alone
+        (the reference appends no silence, ref: tts.py:260-264), with the
+        engine's one-silence-token fallback when the whole stream produced
+        nothing (models/s3gen/model.py _pack_from_decode)."""
         from ..models.s3gen.model import SIL_TOKEN
-        while len(st.buf) >= self.stream_chunk:
-            blk, st.buf = (st.buf[: self.stream_chunk],
-                           st.buf[self.stream_chunk:])
-            audio = st.voc.feed(blk)
-            if len(audio):
-                st.cb(audio, False)
-        tail = np.concatenate([st.buf,
-                               np.full(3, SIL_TOKEN, np.int32)])
-        st.cb(st.voc.feed(tail, final=True), True)
+        feeds = [(st, blk, False) for blk in self._pop_blocks(st)]
+        if self.cfg:
+            tail = (st.buf if st.n_valid
+                    else np.full(1, SIL_TOKEN, np.int32))
+        else:
+            tail = np.concatenate([st.buf, np.full(3, SIL_TOKEN, np.int32)])
+        feeds.append((st, tail, True))
+        return feeds
+
+    def _run_feeds(self, feeds):
+        """Two-phase feed execution: dispatch every block's vocode program
+        back-to-back (per-stream order preserved — a stream's blocks stay
+        consecutive), then fetch all audio in ONE gather, then invoke the
+        callbacks in order. N concurrent streams' feeds cost max(compute)
+        + one round-trip instead of N sequential dispatch+fetch round-trips
+        — audio bit-identical to sequential feed()s (same programs, same
+        inputs; only the fetch is deferred)."""
+        if not feeds:
+            return
+        handles = [st.voc.feed_dispatch(blk, final=final)
+                   for st, blk, final in feeds]
+        # one gather for every device handle (None/host handles pass through)
+        devs = [h[0] for h in handles if isinstance(h, tuple)]
+        fetched = iter(jax.device_get(devs))
+        for (st, _blk, final), h in zip(feeds, handles):
+            if isinstance(h, tuple):
+                audio = st.voc.feed_fetch((np.asarray(next(fetched)), h[1]))
+            else:
+                audio = st.voc.feed_fetch(h)
+            if len(audio) or final:
+                st.cb(audio, final)
 
     def _harvest(self, status: np.ndarray = None, skip=()):
         """Retire finished rows. `status` is a pack_status snapshot (possibly
@@ -528,21 +589,25 @@ class ContinuousTTSServer:
                     if active[i] and done[i] and i not in skip
                     and self._slot_req[i] is not None]
         self._flush_vocode()
-        self._stream_feed(done, steps, tokens, skip=skip)
+        feeds = self._stream_feed(done, steps, tokens, skip=skip)
         if not finished:
+            self._run_feeds(feeds)
             return []
         out, voc_rows, voc_refs, voc_keys, voc_rids = [], [], [], [], []
         for i in finished:
             req = self._slot_req[i]
             t = tokens[i, : steps[i]]
-            if self.cfg:   # CFG family slices between SOS/EOS (ref: tts.py:260)
+            st = self._slot_stream[i]
+            if self.cfg and st is None:
+                # CFG family slices between SOS/EOS (ref: tts.py:260);
+                # STREAMING requests instead use the progressive semantics
+                # their audio was produced with (see submit)
                 from ..api.pipelines import drop_invalid_tokens_sliced
                 t = drop_invalid_tokens_sliced(t)
             t = t[t < 6561]                       # strip EOS/specials
             self.results[req.request_id] = t
-            st = self._slot_stream[i]
             if st is not None:
-                self._stream_finish(st)
+                feeds += self._finish_feeds(st)
                 self._slot_stream[i] = None
             elif self.s3gen is not None and getattr(req, "ref", None) is not None:
                 voc_rows.append(t if len(t) else np.zeros((1,), np.int32))
@@ -564,19 +629,34 @@ class ContinuousTTSServer:
                 voc_rows, voc_refs, jnp.stack(voc_keys))
             self._voc_pending = (voc_rids, handle)
             self._await_wav.update(voc_rids)
+        # feeds run AFTER the batched vocode dispatch: their gather fetch
+        # overlaps its device compute
+        self._run_feeds(feeds)
         return out
 
     def _dispatch_round(self) -> bool:
         """Admit pending requests and dispatch one decode chunk (async).
-        Returns False when no slot is occupied (nothing dispatched)."""
+        Returns False when no slot is occupied (nothing dispatched).
+
+        First-feed prioritization: while any stream is still waiting for its
+        first audio, rounds shorten to `first_chunk` steps so its first feed
+        boundary is reached in one round instead of stalling behind a full
+        `chunk`-step bulk round. Round length never changes token CONTENT
+        (rows advance step-wise with per-row RNG chains), only when the host
+        observes it — feed schedules stay pure functions of the stream."""
         self._admit_pending()
         if not any(r is not None for r in self._slot_req):
             return False
+        n_steps = self.chunk
+        if self.first_chunk < self.chunk and any(
+                st is not None and st.fed_raw < self.first_chunk
+                for st in self._slot_stream):
+            n_steps = self.first_chunk
         # bucketed growth: ensure the cache covers every slot's next chunk.
         # Clamp to the full capacity: a finished-but-unharvested slot's bound
         # keeps advancing for one lagged round and may exceed it (rows never
         # write past t_full — done rows don't advance).
-        needed = min(max(b for b in self._slot_bound) + self.chunk,
+        needed = min(max(b for b in self._slot_bound) + n_steps,
                      self._t_full)
         if needed > self._t_cap:
             new_cap = self._t_cap
@@ -587,11 +667,11 @@ class ContinuousTTSServer:
             self.state = grow_slot_cache(self.state, new_t_cap=new_cap)
             self._t_cap = new_cap
         self.state = decode_chunk_multi(self.t3_params, self.hp, self.state,
-                                        n_steps=self.chunk, top_k=self.top_k,
+                                        n_steps=n_steps, top_k=self.top_k,
                                         cfg_mode=self.cfg)
         for i in range(self.n_slots):         # advance host upper bounds
             if self._slot_req[i] is not None:
-                self._slot_bound[i] += self.chunk
+                self._slot_bound[i] += n_steps
         return True
 
     def step(self) -> list:
@@ -703,6 +783,12 @@ class ContinuousTTSServer:
                                             self.state, n_steps=self.chunk,
                                             top_k=self.top_k,
                                             cfg_mode=self.cfg)
+            if self.first_chunk < self.chunk:
+                # the short first-feed-prioritization round program
+                self.state = decode_chunk_multi(
+                    self.t3_params, self.hp, self.state,
+                    n_steps=self.first_chunk, top_k=self.top_k,
+                    cfg_mode=self.cfg)
             np.asarray(pack_status(self.state))
 
         _touch()

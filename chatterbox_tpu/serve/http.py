@@ -139,8 +139,8 @@ class TTSHTTPServer:
         The response is then Transfer-Encoding: chunked audio/wav, audio
         flowing at time-to-first-audio latency instead of after the full
         synthesis. On the whole-batch backend streams are serialized (one
-        drives the device at a time); on a `continuous=` Turbo/Nano slot
-        machine with an s3gen engine, streaming runs CONCURRENTLY through
+        drives the device at a time); on a `continuous=` slot machine
+        (either family) with an s3gen engine, streaming runs CONCURRENTLY through
         the slot machine instead (no stream_fn needed, no device lock —
         N streaming clients share one batched decode and each client's
         audio streams as its own slot advances).
@@ -175,11 +175,11 @@ class TTSHTTPServer:
             self.loop = ContinuousServingLoop(continuous, self._on_result)
         else:
             self.loop = ServingLoop(decoder, self._on_result, s3gen=s3gen)
-        # concurrent streaming rides the slot machine when it can vocode
-        # (Turbo/Nano family; the CFG slice semantics are not progressive)
+        # concurrent streaming rides the slot machine when it can vocode —
+        # both families (the CFG family streams with progressive first-EOS
+        # truncation, sampling/continuous.py submit)
         self._continuous_stream = (continuous is not None
-                                   and continuous.s3gen is not None
-                                   and not continuous.cfg)
+                                   and continuous.s3gen is not None)
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self._httpd.server_address[:2]
 

@@ -103,14 +103,40 @@ class StreamingVocoder:
 
     def feed(self, new_tokens: np.ndarray, final: bool = False) -> np.ndarray:
         """Feed newly generated speech tokens; returns the new audio samples."""
+        return self.feed_fetch(self.feed_dispatch(new_tokens, final=final))
+
+    def feed_dispatch(self, new_tokens: np.ndarray, final: bool = False):
+        """Async half of feed(): dispatch the vocode program(s) and return an
+        opaque handle for feed_fetch. Lets a serving loop dispatch N
+        concurrent streams' feeds back-to-back and fetch them together —
+        the device computes pipeline and the N relay round-trips collapse
+        into one gather (continuous.ContinuousTTSServer._run_feeds).
+        Audio is bit-identical to the synchronous feed(): same programs,
+        same inputs, only the fetch is deferred. Windowed mode computes
+        synchronously (its passes are host-driven) and the handle carries
+        the finished audio."""
         new_tokens = np.asarray(new_tokens).reshape(1, -1)
         self._tokens = np.concatenate([self._tokens, new_tokens], axis=1)
         self._row_dev = None      # device token row is stale (rebuilt lazily)
         if not final and self._tokens.shape[1] <= self.lookahead:
-            return np.zeros((0,), np.float32)
+            return None
         if self.window is None:
-            return self._feed_exact(final)
-        return self._feed_windowed(final)
+            return self._feed_exact_dispatch(final)
+        return self._feed_windowed(final)     # already-host audio
+
+    def feed_fetch(self, handle) -> np.ndarray:
+        """Blocking half of feed(): fetch the dispatched audio."""
+        if handle is None:
+            return np.zeros((0,), np.float32)
+        if isinstance(handle, np.ndarray):    # windowed mode: already host
+            return handle
+        dev, s0 = handle
+        new = np.asarray(dev)
+        if s0 < len(self._fade) and len(new):
+            f = self._fade[s0: s0 + len(new)]
+            new = new.copy()
+            new[: len(f)] *= f
+        return new
 
     def feed_from_decode(self, gen_tokens, n_raw, *, vocab: int,
                          final: bool = False, append_sil: int = 0,
@@ -179,9 +205,10 @@ class StreamingVocoder:
         return new, n_new_h, tuple(fetched[4:])
 
     # ------------------------------------------------------------------
-    def _feed_exact(self, final: bool) -> np.ndarray:
+    def _feed_exact_dispatch(self, final: bool):
         """One fused device program per feed (flow→trim→HiFT, source cache
-        resident on device); only the new waveform tail is fetched."""
+        resident on device); returns (device wav-tail slice, fade offset) —
+        only the new waveform tail is ever fetched (feed_fetch)."""
         if self._cache_dev is None:
             self._cache_dev = self.engine.new_stream_cache()
         n_tok = self._tokens.shape[1]
@@ -193,13 +220,8 @@ class StreamingVocoder:
             np.zeros((1, 9), np.float32), gen_frames)
         self._src_cache_len = gen_frames * 480
         s0 = self._emitted_samples
-        new = np.asarray(wav[0, s0: gen_frames * 480])  # device-sliced fetch
-        if s0 < len(self._fade):
-            f = self._fade[s0: s0 + len(new)]
-            new = new.copy()
-            new[: len(f)] *= f
         self._emitted_samples = gen_frames * 480
-        return new
+        return wav[0, s0: gen_frames * 480], s0   # device-sliced
 
     # ------------------------------------------------------------------
     def _feed_windowed(self, final: bool) -> np.ndarray:

@@ -497,18 +497,93 @@ class TestConcurrentStreaming:
         with pytest.raises(ValueError, match="s3gen"):
             bare.submit(r, on_chunk=lambda c, f: None)
 
-    def test_cfg_family_stream_rejected(self, setup, engine):
-        """The CFG family's SOS/EOS slice is not progressive — streaming
-        submits must fail loudly, not produce silently-different audio."""
+    def _run_cfg(self, hp, params, cond, eng, ref, seeds, max_new=14,
+                 first_chunk=None, stream_chunk=5):
+        srv = ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                                  max_new_tokens=max_new, chunk=4, top_k=40,
+                                  s3gen=eng, stream_chunk=stream_chunk,
+                                  first_chunk=first_chunk, cfg=True)
+        chunks = {s: [] for s in seeds}
+        for s in seeds:
+            rng = np.random.default_rng(s)
+            r = TTSRequest(text_tokens=rng.integers(1, 60, 5).astype(np.int32),
+                           cond=cond, request_id=s, seed=s, max_new=max_new,
+                           sampler=SamplerParams.make(
+                               temperature=0.9, top_p=1.0, min_p=0.02,
+                               repetition_penalty=1.2, cfg_weight=0.5),
+                           ref=ref)
+            srv.submit(r, on_chunk=lambda c, f, s=s: chunks[s].append((c, f)))
+        srv.run_until_idle()
+        return chunks, srv
+
+    def test_cfg_streams_byte_identical_to_solo(self, setup, engine):
+        """CFG-family streaming (round-5 VERDICT item 2): 3 concurrent CFG
+        streams, each byte-identical to its solo run."""
+        hp, params, cond = setup
+        eng, ref = engine
+        solos = {s: self._run_cfg(hp, params, cond, eng, ref, [s])[0][s]
+                 for s in (171, 172, 173)}
+        conc, srv = self._run_cfg(hp, params, cond, eng, ref,
+                                  [171, 172, 173])
+        for s, solo in solos.items():
+            assert len(conc[s]) == len(solo) > 0, s
+            for (c1, f1), (c2, f2) in zip(solo, conc[s]):
+                assert f1 == f2
+                np.testing.assert_array_equal(c1, c2)
+        for s in conc:
+            finals = [f for _, f in conc[s]]
+            assert finals[-1] and sum(finals) == 1
+
+    def test_cfg_stream_audio_matches_tokens(self, setup, engine):
+        """CFG streams append NO silence pad (ref: tts.py:260-264): total
+        samples == n_valid * 2 * 480, with the harvested result tokens
+        matching the progressive semantics the audio streamed with."""
+        hp, params, cond = setup
+        eng, ref = engine
+        chunks, srv = self._run_cfg(hp, params, cond, eng, ref, [181])
+        total = sum(c.size for c, _ in chunks[181])
+        n_valid = len(srv.results[181])
+        assert total == max(n_valid, 1) * 2 * 480
+        assert all(np.isfinite(c).all() for c, _ in chunks[181])
+
+    def test_first_chunk_prioritization_byte_identical(self, setup, engine):
+        """first_chunk < stream_chunk (concurrent-TTFA lever): the feed
+        schedule shifts to (first_chunk, then every stream_chunk) but stays
+        a pure function of the stream — solo == concurrent byte-wise, and
+        the token payloads are unchanged vs the plain schedule."""
+        hp, params, cond = setup
+        eng, ref = engine
+        solo = self._run_cfg(hp, params, cond, eng, ref, [191],
+                             first_chunk=4)[0][191]
+        conc, srv = self._run_cfg(hp, params, cond, eng, ref,
+                                  [191, 192, 193], first_chunk=4)
+        assert len(conc[191]) == len(solo) > 0
+        for (c1, f1), (c2, f2) in zip(solo, conc[191]):
+            assert f1 == f2
+            np.testing.assert_array_equal(c1, c2)
+        # same total audio as the plain schedule (token content invariant
+        # to round length and feed boundaries)
+        plain, srv_plain = self._run_cfg(hp, params, cond, eng, ref, [191])
+        np.testing.assert_array_equal(srv.results[191],
+                                      srv_plain.results[191])
+        assert (sum(c.size for c, _ in conc[191])
+                == sum(c.size for c, _ in plain[191]))
+
+    def test_cfg_empty_stream_silence_fallback(self, setup, engine):
+        """A CFG stream that produced zero valid tokens retires with the
+        engine's one-silence-token fallback (matches _pack_from_decode)."""
+        from chatterbox_tpu.sampling.continuous import _SlotStream
+        from chatterbox_tpu.models.s3gen.model import SIL_TOKEN
         hp, params, cond = setup
         eng, ref = engine
         srv = ContinuousTTSServer(params, hp, n_slots=2, text_bucket=16,
                                   max_new_tokens=8, chunk=4, s3gen=eng,
                                   cfg=True)
-        r = _req(cond, rid=1, seed=1)
-        r.ref = ref
-        with pytest.raises(ValueError, match="CFG"):
-            srv.submit(r, on_chunk=lambda c, f: None)
+        st = _SlotStream(voc=None, cb=lambda c, f: None, first_chunk=5)
+        feeds = srv._finish_feeds(st)
+        assert len(feeds) == 1
+        st2, blk, final = feeds[0]
+        assert final and list(blk) == [SIL_TOKEN]
 
 
 class TestContinuousCFG:

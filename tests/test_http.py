@@ -563,3 +563,76 @@ class TestContinuousHTTP:
         [t.join(timeout=240) for t in threads]
         assert set(out) == {"s", 0, 1}
         assert len(out["s"]) > 44 and all(len(out[i]) for i in (0, 1))
+
+
+@pytest.fixture(scope="module")
+def cfg_cont_server():
+    """A cfg=True slot machine behind the HTTP front (the 520M/MTL family's
+    serving shape): each request occupies a cond/uncond row pair and text
+    arrives SOT/EOT-framed via frame_text."""
+    from chatterbox_tpu.api.pipelines import T3CondHost
+    from chatterbox_tpu.sampling.continuous import ContinuousTTSServer
+    hp = T3Config.tiny_test("llama")
+    t3p = t3m.t3_init(jax.random.key(0), hp)
+    eng = S3GenEngine(s3gen_init(jax.random.key(1), meanflow=True,
+                                 tok_cfg=S3TokenizerConfig.tiny_test(),
+                                 dims=FlowDims.tiny_test(), hift_base=32),
+                      meanflow=True, tok_cfg=S3TokenizerConfig.tiny_test(),
+                      dims=FlowDims.tiny_test())
+    rng = np.random.default_rng(0)
+    P = 8
+    ref = RefDict(
+        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
+        prompt_token_len=np.asarray([P], np.int32),
+        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
+        embedding=rng.standard_normal((1, 192)).astype(np.float32))
+    cond = T3CondHost(np.zeros((1, 256), np.float32),
+                      np.zeros((1, hp.speech_cond_prompt_len), np.int32))
+
+    def frame(ids):
+        return np.concatenate([[hp.start_text_token],
+                               np.asarray(ids).reshape(-1),
+                               [hp.stop_text_token]]).astype(np.int32)
+
+    slots = ContinuousTTSServer(t3p, hp, n_slots=2, text_bucket=16,
+                                max_new_tokens=8, chunk=4, top_k=40,
+                                s3gen=eng, stream_chunk=4, cfg=True)
+    srv = TTSHTTPServer(None, eng, _Tok(), {"default": Voice(cond, ref)},
+                        sr=24000, port=0, timeout_s=240.0, continuous=slots,
+                        frame_text=frame)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+class TestContinuousCFGStreamingHTTP:
+    """Round-5 VERDICT item 2 at the HTTP surface: `"stream": true` accepted
+    on CFG servers, streamed bytes deterministic per seed."""
+
+    def test_cfg_stream_roundtrip(self, cfg_cont_server):
+        assert cfg_cont_server._continuous_stream    # gate lifted for cfg
+        with _post_to(cfg_cont_server, {"text": "stream me", "seed": 7,
+                                        "stream": True}) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/wav"
+            body = resp.read()
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        assert len(np.frombuffer(body[44:], np.int16)) > 0
+
+    def test_cfg_concurrent_stream_matches_solo(self, cfg_cont_server):
+        with _post_to(cfg_cont_server, {"text": "stream me", "seed": 61,
+                                        "stream": True}) as r:
+            solo = r.read()
+        out = {}
+
+        def call(i):
+            with _post_to(cfg_cont_server,
+                          {"text": "stream me", "seed": 61 + i,
+                           "stream": True}) as resp:
+                out[i] = resp.read()
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        [t.start() for t in threads]
+        [t.join(timeout=240) for t in threads]
+        assert sorted(out) == [0, 1]
+        assert out[0] == solo

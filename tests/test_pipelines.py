@@ -229,3 +229,53 @@ class TestBucketedPipelineSwitch:
         m.set_seed(3)
         bucketed = m.generate("Salut.", language_id="fr", max_new_tokens=12)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(bucketed))
+
+
+class _IdentityWM:
+    def apply_watermark(self, wav, **kw):
+        return np.asarray(wav, np.float32)
+
+
+class TestCfgStreamingPipeline:
+    """CFG-family generate_stream (round-5): the concatenated stream must
+    track generate() on the same seed — same RNG chain (decode key then
+    vocode key), identical token stream (budget-clamped chunks; progressive
+    first-EOS == the sliced tail on any stream without a mid-stream SOS), so
+    sample-count-exact; amplitudes are close-not-byte-equal because the
+    growing-window flow re-estimates earlier frames as the bidirectional
+    conformer sees more tokens (same semantics as the Turbo stream — the
+    byte-identity invariant lives at the continuous engine, solo vs
+    concurrent, test_continuous.py). Watermark stubbed to identity — the
+    real embed is envelope/filter-transient chunk-dependent by design."""
+
+    def test_english_stream_matches_generate(self):
+        hp = T3Config.tiny_test("llama")
+        m = ChatterboxTTS.random_init(hp=hp, tokenizer=FakeTokenizer(), **TINY)
+        m._prepare_from_wav(_make_ref_wav(2, seed=1), 0.5)
+        m.watermarker = _IdentityWM()
+        m.set_seed(11)
+        full = np.asarray(m.generate("Stream parity.", max_new_tokens=12))[0]
+        m.set_seed(11)
+        chunks = list(m.generate_stream("Stream parity.", max_new_tokens=12,
+                                        chunk_tokens=5))
+        assert len(chunks) >= 1
+        total = np.concatenate(chunks)
+        assert total.shape == full.shape      # token stream identical
+        np.testing.assert_allclose(total, full, atol=0.02)
+
+    def test_mtl_stream_matches_generate_with_trim(self):
+        hp = T3Config.tiny_test("llama")
+        m = ChatterboxMultilingualTTS.random_init(
+            hp=hp, tokenizer=FakeTokenizer(), **TINY)
+        m._prepare_from_wav(_make_ref_wav(2, seed=2), 0.5)
+        m.watermarker = _IdentityWM()
+        m.set_seed(5)
+        full = np.asarray(m.generate("Salut toi.", language_id="fr",
+                                     max_new_tokens=12))[0]
+        m.set_seed(5)
+        chunks = list(m.generate_stream("Salut toi.", language_id="fr",
+                                        max_new_tokens=12, chunk_tokens=5))
+        total = np.concatenate(chunks)
+        # the 40 ms final-token trim must match generate()'s tail bound
+        assert total.shape == full.shape
+        np.testing.assert_allclose(total, full, atol=0.02)

@@ -101,7 +101,8 @@ class S3GenEngine:
                  tok_cfg: S3TokenizerConfig = S3TokenizerConfig(),
                  n_timesteps: Optional[int] = None,
                  dims: FlowDims = FlowDims(),
-                 cfm_dtype=None, enc_dtype=None):
+                 cfm_dtype=None, enc_dtype=None,
+                 batched_bf16_min_b: Optional[int] = 16):
         """cfm_dtype: optional CFM-estimator compute dtype (e.g.
         jnp.bfloat16) — an opt-in speed knob; fp32 (the default) matches the
         reference's estimator_dtype marker (ref: s3gen.py:259). When set,
@@ -109,12 +110,24 @@ class S3GenEngine:
         reads per solver step).
         enc_dtype: same knob for the upsample-conformer encoder weights
         (the flow front); fp32 default for parity. Measured r3: see
-        DESIGN.md before enabling."""
+        DESIGN.md before enabling.
+
+        batched_bf16_min_b: batched vocode (inference_batch*) switches the
+        flow (encoder + CFM estimator) to bfloat16 when the padded batch
+        size reaches this bound — the r4 roofline put fp32 flow at ~5 % of
+        MXU peak at B≥16 (activation-bandwidth-bound) and measured bf16 at
+        +0 % wall at B=16, +17 % at B=32, max|Δwav| 0.0026 (DESIGN.md r4/r5
+        A/B). HiFT and every single-stream/streaming path stay fp32. None
+        disables (fp32 at every batch size); ignored when cfm_dtype already
+        casts the whole engine."""
         def _cast_sub(tree, dt):
             return jax.tree.map(
                 lambda l: (l.astype(dt) if hasattr(l, "dtype")
                            and jnp.issubdtype(l.dtype, jnp.floating) else l),
                 tree)
+        self._cast_sub = _cast_sub
+        self.batched_bf16_min_b = batched_bf16_min_b
+        self._params_flow_bf16 = None      # lazily built bf16 flow copy
         if cfm_dtype is not None or enc_dtype is not None:
             params = dict(params)
             params["flow"] = dict(params["flow"])
@@ -127,6 +140,7 @@ class S3GenEngine:
         self.params = params
         self.meanflow = meanflow
         self.cfm_dtype = cfm_dtype
+        self.enc_dtype = enc_dtype
         self.tok_cfg = tok_cfg
         self.dims = dims
         self.n_timesteps = n_timesteps or (2 if meanflow else 10)
@@ -156,9 +170,10 @@ class S3GenEngine:
                                   phase_carry=phase_carry)
 
         @functools.partial(jax.jit,
-                           static_argnames=("n_timesteps", "mel_bucket", "pcm16"))
+                           static_argnames=("n_timesteps", "mel_bucket",
+                                            "pcm16", "est_override"))
         def _fused(params, token, token_len, prompt_len, prompt_feat, embedding,
-                   key, n_timesteps, mel_bucket, pcm16):
+                   key, n_timesteps, mel_bucket, pcm16, est_override=None):
             """flow → gen-region slice → HiFT → trim-fade in ONE program.
 
             The axon relay costs ~29 ms per sync and ~30 MB/s per fetch, so
@@ -189,7 +204,8 @@ class S3GenEngine:
                 prompt_len=prompt_len, prompt_feat=prompt_feat,
                 embedding=embedding, key=k_flow, n_timesteps=n_timesteps,
                 meanflow=meanflow, noise=noise, dims=dims,
-                est_dtype=est_dtype)
+                est_dtype=(est_override if est_override is not None
+                           else est_dtype))
             # per-row gen-region extraction (ref: flow.py:196-197): pad so the
             # dynamic_slice is always in-bounds, then mask the tail to the
             # mel floor so prompt-region garbage can't bleed into the vocoder.
@@ -751,6 +767,21 @@ class S3GenEngine:
         return self.inference_batch_fetch(
             self.inference_batch_dispatch(token_rows, refs, key, n_timesteps))
 
+    def _bf16_flow_params(self) -> dict:
+        """Params with the flow encoder+decoder cast to bf16 (built once;
+        other subtrees shared by reference). Used by the batched vocode at
+        B≥batched_bf16_min_b — halves the flow's activation/weight HBM
+        traffic, which the r4 roofline showed is the batched knee."""
+        if self._params_flow_bf16 is None:
+            p = dict(self.params)
+            p["flow"] = dict(p["flow"])
+            p["flow"]["decoder"] = self._cast_sub(p["flow"]["decoder"],
+                                                  jnp.bfloat16)
+            p["flow"]["encoder"] = self._cast_sub(p["flow"]["encoder"],
+                                                  jnp.bfloat16)
+            self._params_flow_bf16 = p
+        return self._params_flow_bf16
+
     def inference_batch_dispatch(self, token_rows: list, refs: list, key,
                                  n_timesteps: Optional[int] = None):
         """Async half of inference_batch: enqueues the fused program and
@@ -786,12 +817,21 @@ class S3GenEngine:
         if key.ndim >= 1 and key.shape[0] == B and Bp > B:
             key = jnp.concatenate([key, jnp.repeat(key[-1:], Bp - B, axis=0)])
 
+        # default bf16 flow at large batch (r4 roofline: fp32 flow is ~5 %
+        # of MXU peak there; measured +17 % aggregate at B=32, wav delta
+        # ≤3e-3). Single-stream (B<min_b) and explicit-cfm_dtype engines
+        # keep their configured dtype.
+        use_bf16 = (self.batched_bf16_min_b is not None
+                    and Bp >= self.batched_bf16_min_b
+                    and self.cfm_dtype is None and self.enc_dtype is None)
         wavs = self._fused(
-            self.params, jnp.asarray(tokens),
+            self._bf16_flow_params() if use_bf16 else self.params,
+            jnp.asarray(tokens),
             jnp.asarray([p + g for p, g in zip(Ps, Gs)]),
             jnp.asarray(Ps), jnp.asarray(feats), jnp.asarray(embs), key,
             n_timesteps=n_timesteps or self.n_timesteps,
-            mel_bucket=mel_bucket, pcm16=self.pcm16_fetch)
+            mel_bucket=mel_bucket, pcm16=self.pcm16_fetch,
+            est_override=jnp.bfloat16 if use_bf16 else None)
         if Bp > B:
             wavs = wavs[:B]       # device-side slice: don't fetch pad rows
         return (wavs, Gs[:B])

@@ -152,3 +152,55 @@ class TestFusedInference:
             solo = engine.inference_batch([row], [ref],
                                           keys[i: i + 1])[0]
             np.testing.assert_allclose(w, solo, atol=2e-4, rtol=0)
+
+
+class TestBatchedBf16Default:
+    """Round-5 VERDICT item 4: batched vocode defaults to bf16 flow at
+    padded batch ≥16 (the measured knee — fp32 flow is activation-bound at
+    ~5 % MXU there; bf16 was +17 % at B=32 with max|Δwav| 2.6e-3 on the
+    520M-scale A/B). Below the bound, and with batched_bf16_min_b=None,
+    audio must be bit-identical to the fp32 engine."""
+
+    def _rows(self, n, length=9, seed=7):
+        rng = np.random.default_rng(seed)
+        return [rng.integers(0, 6561, (length,)).astype(np.int32)
+                for _ in range(n)]
+
+    def test_below_min_b_stays_fp32_bitwise(self, engine, ref):
+        eng_off = S3GenEngine(engine.params, meanflow=True,
+                              tok_cfg=S3TokenizerConfig.tiny_test(),
+                              dims=FlowDims.tiny_test(),
+                              batched_bf16_min_b=None)
+        rows = self._rows(4)
+        keys = jnp.stack([jax.random.key(i) for i in range(4)])
+        a = engine.inference_batch(rows, [ref] * 4, keys)
+        b = eng_off.inference_batch(rows, [ref] * 4, keys)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_at_min_b_bf16_close_to_fp32(self, engine, ref):
+        eng_off = S3GenEngine(engine.params, meanflow=True,
+                              tok_cfg=S3TokenizerConfig.tiny_test(),
+                              dims=FlowDims.tiny_test(),
+                              batched_bf16_min_b=None)
+        rows = self._rows(16)
+        keys = jnp.stack([jax.random.key(100 + i) for i in range(16)])
+        a = engine.inference_batch(rows, [ref] * 16, keys)    # bf16 path
+        b = eng_off.inference_batch(rows, [ref] * 16, keys)   # fp32 path
+        assert len(a) == len(b) == 16
+        for x, y in zip(a, b):
+            assert x.shape == y.shape and np.isfinite(x).all()
+            np.testing.assert_allclose(x, y, atol=0.05, rtol=0)
+
+    def test_explicit_cfm_dtype_engine_not_overridden(self, engine, ref):
+        """An engine the user already cast (cfm_dtype) keeps its dtype at
+        every batch size — the default switch only upgrades fp32 engines."""
+        eng_cast = S3GenEngine(engine.params, meanflow=True,
+                               tok_cfg=S3TokenizerConfig.tiny_test(),
+                               dims=FlowDims.tiny_test(),
+                               cfm_dtype=jnp.bfloat16)
+        assert eng_cast.batched_bf16_min_b == 16   # present but moot
+        rows = self._rows(2)
+        keys = jnp.stack([jax.random.key(5), jax.random.key(6)])
+        wavs = eng_cast.inference_batch(rows, [ref] * 2, keys)
+        assert all(np.isfinite(w).all() for w in wavs)

@@ -22,7 +22,23 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the suite is dominated by repeated XLA CPU
 # compiles of tiny models; cache them across tests AND across runs.
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+#
+# The cache dir is scoped per host-CPU fingerprint and writes are made
+# atomic: this checkout is mounted by HETEROGENEOUS machines (builder /
+# bench driver / reviewer), XLA:CPU executables bake in the compiling
+# host's ISA, and jax's cache key ignores it — a foreign-ISA entry is at
+# best slow and at worst SIGSEGVs deserialize_executable (observed r5);
+# a killed run's half-written entry poisons every later one (bare
+# write_bytes upstream). See chatterbox_tpu/utils/jaxcache.py.
+from chatterbox_tpu.utils.jaxcache import (atomic_cache_writes,  # noqa: E402
+                                           cpu_scoped_dir,
+                                           forked_cache_writes)
+_CACHE_DIR = cpu_scoped_dir(os.path.join(os.path.dirname(__file__),
+                                         ".jax_cache"))
+atomic_cache_writes()
+# XLA:CPU executable.serialize SIGSEGVs ~1-in-few-hundred writes (killed two
+# full-suite runs this round); a forked writer makes a crash skip the entry
+forked_cache_writes()
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,5 +1,6 @@
 """Utility subsystem tests: profiling/metrics, loudness, dtype policy."""
 import math
+import os
 import time
 
 import numpy as np
@@ -59,3 +60,75 @@ class TestDtypes:
         assert c["a"]["ids"].dtype == jnp.int32   # ints untouched
         assert param_count(params) == 19
         assert param_bytes(params) == 16 * 4 + 3 * 4
+
+
+class TestJaxCache:
+    """Compile-cache hardening (utils/jaxcache.py): this checkout is shared
+    by heterogeneous machines, XLA:CPU executables are ISA-specific, cache
+    writes must survive kills, and XLA:CPU's serialize() crashes flakily —
+    see the module docstring for the three observed failure modes."""
+
+    def test_cpu_scoped_dir_stable_and_distinct(self, tmp_path):
+        from chatterbox_tpu.utils.jaxcache import cpu_scoped_dir
+        a = cpu_scoped_dir(str(tmp_path))
+        b = cpu_scoped_dir(str(tmp_path))
+        assert a == b and os.path.isdir(a)
+        assert os.path.basename(a).startswith("cpu-")
+        assert len(os.path.basename(a)) == 4 + 12   # cpu-<12 hex>
+
+    def test_atomic_put_no_partial_entry(self, tmp_path):
+        """The patched LRUCache.put leaves either the full entry or nothing;
+        tmp files never linger."""
+        from chatterbox_tpu.utils.jaxcache import atomic_cache_writes
+        atomic_cache_writes()
+        from jax._src import lru_cache as lc
+        c = lc.LRUCache(str(tmp_path), max_size=-1)
+        c.put("k1", b"x" * 4096)
+        assert c.get("k1") == b"x" * 4096
+        leftovers = [p for p in os.listdir(tmp_path) if p.endswith(".tmp")]
+        assert leftovers == []
+
+    def test_forked_write_crash_skips_entry(self, tmp_path, monkeypatch):
+        """A native crash inside the cache write (the flaky XLA:CPU
+        serialize SIGSEGV) must skip the entry, not kill the process."""
+        import warnings as W
+        from chatterbox_tpu.utils import jaxcache
+        jaxcache.forked_cache_writes()
+        from jax._src import compilation_cache as cc
+
+        class _Boom:
+            platform = "cpu"
+        calls = []
+
+        def exploding_orig(*a, **kw):
+            calls.append(a)
+            os.kill(os.getpid(), 11)      # simulate the serialize SIGSEGV
+
+        # the wrapper closed over the original; rebind via a fresh wrapper
+        monkeypatch.setattr(jaxcache, "_FORKED", False)
+        monkeypatch.setattr(cc, "put_executable_and_time", exploding_orig)
+        jaxcache.forked_cache_writes(timeout_s=30.0)
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            cc.put_executable_and_time("key", "mod", object(), _Boom(), 1)
+        assert calls == []                # parent never ran the original
+        assert any("skipped" in str(w.message) for w in rec)
+
+    def test_forked_write_success_lands(self, tmp_path, monkeypatch):
+        """The child's successful write is visible to the parent."""
+        from chatterbox_tpu.utils import jaxcache
+        from jax._src import compilation_cache as cc
+        marker = os.path.join(str(tmp_path), "landed")
+
+        class _Cpu:
+            platform = "cpu"
+
+        def writing_orig(cache_key, module_name, executable, backend, t):
+            with open(marker, "w") as f:
+                f.write(cache_key)
+
+        monkeypatch.setattr(jaxcache, "_FORKED", False)
+        monkeypatch.setattr(cc, "put_executable_and_time", writing_orig)
+        jaxcache.forked_cache_writes(timeout_s=30.0)
+        cc.put_executable_and_time("k9", "mod", object(), _Cpu(), 1)
+        assert open(marker).read() == "k9"

@@ -267,7 +267,7 @@ def _cmd_serve(args):
         slots = ContinuousTTSServer(
             model.t3_params, model.hp, n_slots=args.max_batch,
             text_bucket=args.text_bucket, s3gen=model.s3gen, cfg=cfg_family,
-            kv_int8=args.kv_int8)
+            kv_int8=args.kv_int8, draft_int8=args.draft_int8)
     server = TTSHTTPServer(
         decoder, model.s3gen, _NormTok(model.tokenizer, variant), voices,
         sr=model.sr, host=args.host, port=args.port, stream_fn=stream_fn,
@@ -333,6 +333,14 @@ def main(argv=None):
     ps.add_argument("--text-bucket", type=int, default=128,
                     help="continuous mode's fixed text-token capacity "
                          "(longer requests are truncated)")
+    ps.add_argument("--draft-int8", action="store_true",
+                    help="continuous mode only (Turbo/Nano family): "
+                         "speculative decode rounds — the model's own int8-"
+                         "quantized weights draft 8 tokens per slot, one "
+                         "bf16 verify forward emits them. Token streams are "
+                         "byte-identical to draft-off; pays at low "
+                         "occupancy (per-stream latency), a full batch "
+                         "already amortizes the weight reads")
     ps.add_argument("--ckpt-dir", default=None)
     ps.add_argument("--warmup", action="store_true",
                     help="pre-compile the full serving program grid before "

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..models.t3 import backbone as bb
 from ..models.t3 import model as t3m
 from ..models.t3.config import T3Config
+from ..nn import core as nn
 from ..ops import sampling as S
 
 
@@ -281,6 +282,187 @@ def decode_chunk_multi(params: dict, hp: T3Config, state: SlotStates,
     return f.st
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("hp", "n_rounds", "n_draft", "top_k"),
+                   donate_argnames=("state",))
+def decode_chunk_multi_spec(params: dict, qparams: dict, hp: T3Config,
+                            state: SlotStates, *, n_rounds: int,
+                            n_draft: int = 8,
+                            top_k: int = 1000) -> SlotStates:
+    """Speculative decode rounds over the slot machine: the model's OWN
+    int8-quantized weights (`qparams`) draft K tokens per running row, then
+    ONE bf16 target forward over the (K+1)-token slab verifies them —
+    emitting 1..K+1 tokens per round for ~1 target weight-read (the decode
+    is weight-bound, so a K+1-token slab costs about one step — DESIGN.md).
+
+    TOKEN content is the sequential `decode_chunk_multi` Turbo chain's,
+    reproduced exactly rather than approximated: the emitted token at step t
+    is sample(sub_t, process(P_t)) where sub_t is the t-th split of the
+    row's admit key (the same chain sequential consumes, advanced here by
+    n_emit per round) and P_t the bf16 target logits given the true emitted
+    history. Drafts only GUESS that sample: position j's proposal d_j is
+    accepted iff it equals the target's own sample y_j from the verify
+    logits — a mismatch still emits y_j (computed from a valid prefix), so
+    every round emits >= 1 correct token and rejected work is never
+    resampled. Unlike ratio-based speculative sampling (sampling/
+    speculative.py, the single-stream `generate(draft="int8")` path) this
+    is deterministic given the key chain, so draft-on serving stays
+    byte-identical to draft-off (tested) and the engine's batchmate-
+    invariance carries over unchanged.
+
+    The draft shares the slot KV cache: its int8-computed K/V land at the
+    slab's positions and the verify pass overwrites them with the target's
+    bf16 K/V before attending (per-layer write-then-attend ordering), so no
+    second per-slot cache exists. The row's last emitted token is re-fed as
+    slab position 0 each round (recoverable from `tokens`; BOS at step 0
+    re-feeds its prefill position with identical KV — same trick as
+    speculative.py), which keeps SlotStates' shape unchanged; only `logits`
+    goes stale, and nothing reads it in spec mode (admit/pack_status/
+    harvest are logits-free). Requires the bf16 cache (no kv_int8) and the
+    Turbo chain (cfg_mode=False); the host must size the cache for
+    prefix + step + K extra positions (ContinuousTTSServer handles both).
+    """
+    cfg = hp.backbone
+    Sn = state.seen.shape[0]
+    V = hp.speech_tokens_dict_size
+    K = n_draft
+    stop = hp.stop_speech_token
+    t_max = state.cache[0].shape[3]
+    cap = state.tokens.shape[1]
+    rows = jnp.arange(Sn)
+    start_onehot = jax.nn.one_hot(hp.start_speech_token, V, dtype=jnp.bool_)
+    sp = S.SamplerParams(
+        temperature=state.temperature[:, None],
+        top_p=state.top_p[:, None],
+        min_p=state.min_p[:, None],
+        repetition_penalty=state.repetition_penalty[:, None],
+        cfg_weight=state.cfg_weight[:, None],
+    )
+    sp3 = jax.tree.map(lambda a: a[:, None], sp)    # (S,1,1): per-position
+
+    class _C(NamedTuple):
+        i: jnp.ndarray
+        st: SlotStates
+
+    def cond_fn(c):
+        return (c.i < n_rounds) & jnp.any(c.st.active & ~c.st.done)
+
+    def body_fn(c):
+        s = c.st
+        running = s.active & ~s.done
+
+        # per-row key chain: sub_j samples token step+j; after emitting
+        # n_emit tokens the chain state is chain[n_emit-1] — exactly the
+        # splits sequential decode would have consumed (split(k)[0] chains,
+        # split(k)[1] samples, one per emitted token)
+        def _split_chain(k, _):
+            pair = jax.random.split(k, 2)
+            return pair[0], (pair[0], pair[1])
+        def _row_chain(k0):
+            _, (chain, subs) = jax.lax.scan(_split_chain, k0, None,
+                                            length=K + 1)
+            return chain, subs
+        chain, subs = jax.vmap(_row_chain)(s.keys)   # (S,K+1) keys each
+
+        # slab position 0 re-feeds the row's pending token (last emitted;
+        # BOS at step 0, whose KV/logits the re-feed reproduces)
+        prev = s.tokens[rows, jnp.clip(s.step - 1, 0, cap - 1)]
+        f_tok = jnp.where(s.step == 0, hp.start_speech_token, prev)
+        pos0 = s.prefix_lens + s.step - 1               # (S,) slab base pos
+        k_pos = jnp.arange(t_max)[None, :]
+
+        # ---- draft: K single-token int8 steps ----------------------------
+        def draft_step(carry, j):
+            cache, tok, seen_loc = carry
+            emb = t3m.speech_embed_token(qparams, hp, tok, s.step + j)
+            pos = pos0 + j
+            mask = (k_pos <= pos[:, None])[:, None, None]
+            hidden, cache = bb.backbone_apply_unrolled(
+                qparams["backbone"], cfg, emb, pos[:, None], cache,
+                pos, mask)
+            q_log = t3m.speech_logits(
+                qparams, hidden[:, 0]).astype(jnp.float32)
+            pen = seen_loc | (start_onehot[None] & ((s.step + j) == 0)[:, None])
+            q_proc = S.process_logits_turbo(q_log, pen, sp, top_k)
+            q_filtered = jnp.all(q_proc <= S.NEG_INF, axis=-1)
+            d = jax.vmap(S.sample_categorical)(subs[:, j], q_proc)
+            d = jnp.where(q_filtered, stop, d).astype(jnp.int32)
+            seen_next = seen_loc.at[rows, d].set(True)
+            return (cache, d, seen_next), (d, pen)
+
+        (cache_d, _, seen_last), (d_all, pens) = jax.lax.scan(
+            draft_step, (s.cache, f_tok, s.seen),
+            jnp.arange(K, dtype=jnp.int32))
+        d_all = jnp.swapaxes(d_all, 0, 1)               # (S, K)
+        # pens rows 0..K-1 are positions 0..K-1; position K (bonus) sees
+        # seen ∪ {d_0..d_{K-1}}
+        pens = jnp.concatenate(
+            [jnp.swapaxes(pens, 0, 1), seen_last[:, None]], 1)  # (S,K+1,V)
+
+        # ---- verify: ONE bf16 forward over [f, d_0..d_{K-1}] -------------
+        slab = jnp.concatenate([f_tok[:, None], d_all], axis=1)  # (S,K+1)
+        emb = nn_embed_slab(params, hp, slab, s.step)
+        pos_q = pos0[:, None] + jnp.arange(K + 1)[None]          # (S,K+1)
+        mask = (k_pos[None] <= pos_q[:, :, None])[:, None]       # (S,1,K+1,T)
+        hidden, cache_t = bb.backbone_apply_unrolled(
+            params["backbone"], cfg, emb, pos_q, cache_d, pos0, mask)
+        p_log = t3m.speech_logits(params, hidden).astype(jnp.float32)
+        p_proc = S.process_logits_turbo(p_log, pens, sp3, top_k)  # (S,K+1,V)
+        p_filtered = jnp.all(p_proc <= S.NEG_INF, axis=-1)        # (S,K+1)
+        y = jax.vmap(S.sample_categorical)(
+            subs.reshape(Sn * (K + 1)), p_proc.reshape(-1, V),
+        ).reshape(Sn, K + 1)
+        # the all-(-inf) guard, exactly as sequential applies it
+        y = jnp.where(p_filtered, stop, y).astype(jnp.int32)
+
+        # ---- accept by token match, truncate at EOS/max_new --------------
+        m = y[:, :K] == d_all                            # (S, K)
+        n_match = jnp.where(jnp.all(m, axis=1), K, jnp.argmin(m, axis=1))
+        within = jnp.arange(K + 1)[None] <= n_match[:, None]
+        is_stop = (y == stop) & within
+        first_stop = jnp.argmax(is_stop, axis=1)
+        n_s = jnp.where(jnp.any(is_stop, axis=1), first_stop + 1,
+                        n_match + 1)
+        rem = jnp.maximum(s.max_new - s.step, 1)
+        n_emit = jnp.where(running, jnp.minimum(n_s, rem), 0)
+        emitted = jnp.arange(K + 1)[None] < n_emit[:, None]      # (S,K+1)
+        done_new = s.done | (running & (
+            jnp.any(is_stop & emitted, axis=1)
+            | (s.step + n_emit >= s.max_new)))
+
+        tokens = s.tokens
+        for j in range(K + 1):
+            wpos = jnp.clip(s.step + j, 0, cap - 1)
+            tokens = tokens.at[rows, wpos].set(
+                jnp.where(emitted[:, j], y[:, j], tokens[rows, wpos]))
+        seen = s.seen | jnp.any(
+            jax.nn.one_hot(y, V, dtype=jnp.bool_) & emitted[:, :, None], 1)
+        # [unchanged | chain...] indexed by n_emit: running rows advance by
+        # their emitted count, idle/done rows keep their key state
+        stacked = jnp.concatenate([s.keys[:, None], chain], axis=1)
+        keys_next = stacked[rows, n_emit]
+        st = s._replace(cache=cache_t, seen=seen,
+                        step=s.step + n_emit, done=done_new,
+                        keys=keys_next, tokens=tokens)
+        return _C(c.i + 1, st)
+
+    f = jax.lax.while_loop(cond_fn, body_fn,
+                           _C(jnp.zeros((), jnp.int32), state))
+    return f.st
+
+
+def nn_embed_slab(params: dict, hp: T3Config, slab: jnp.ndarray,
+                  step: jnp.ndarray) -> jnp.ndarray:
+    """Embed a (S, s) slab of speech tokens whose row-r position-j speech
+    index is step[r]+j (the sequential loop embeds token t at index t+1;
+    slab position j holds token step-1+j)."""
+    emb = nn.embedding(params["speech_emb"], slab)           # (S, s, D)
+    if hp.input_pos_emb == "learned":
+        idx = step[:, None] + jnp.arange(slab.shape[1])[None]
+        emb = emb + jnp.take(params["speech_pos_emb"]["w"], idx, axis=0)
+    return emb.astype(params["speech_emb"]["w"].dtype)
+
+
 @jax.jit
 def pack_status(state: SlotStates) -> jnp.ndarray:
     """Everything the host scheduler needs, as ONE int32 array so one fetch
@@ -317,7 +499,8 @@ class _SlotStream:
     is identical whether it runs solo or beside concurrent streams (rows
     are already batchmate-invariant — test_continuous.py)."""
 
-    __slots__ = ("voc", "cb", "fed_raw", "buf", "next_feed", "n_valid")
+    __slots__ = ("voc", "cb", "fed_raw", "buf", "next_feed", "n_valid",
+                 "first_fed")
 
     def __init__(self, voc, cb, first_chunk: int):
         self.voc = voc
@@ -326,6 +509,7 @@ class _SlotStream:
         self.buf = np.zeros((0,), np.int32)   # valid tokens awaiting a feed
         self.next_feed = first_chunk   # boundary for the NEXT feed
         self.n_valid = 0          # total valid tokens seen (empty-stream edge)
+        self.first_fed = False    # first audio delivered (TTFA phase over)
 
 
 class ContinuousTTSServer:
@@ -345,7 +529,8 @@ class ContinuousTTSServer:
                  text_bucket: int = 64, max_new_tokens: int = 1000,
                  chunk: int = 16, top_k: int = 1000, seed: int = 0,
                  s3gen=None, cfg: bool = False, kv_int8: bool = False,
-                 stream_chunk: int = 25, first_chunk: Optional[int] = None):
+                 stream_chunk: int = 25, first_chunk: Optional[int] = None,
+                 draft_int8: bool = False, n_draft: int = 8):
         """cfg=True serves the 520M/MTL CFG family: each request occupies a
         cond/uncond physical row pair; text_tokens must arrive SOT/EOT-framed
         (the CFG pipelines' framing); per-request min_p/cfg_weight honored.
@@ -381,11 +566,33 @@ class ContinuousTTSServer:
         # opt-in int8 slot cache: decode rounds read it with the pallas
         # streamed-int8 kernel (quality A/B: tools/ab_int8.py)
         self.kv_int8 = kv_int8
+        # opt-in speculation (decode_chunk_multi_spec): the model's own
+        # int8 weights draft n_draft tokens/row/round, one bf16 verify
+        # emits them — token streams stay byte-identical to draft-off.
+        # Pays at LOW occupancy (per-stream latency); a full batch already
+        # amortizes the weight reads speculation saves.
+        self.draft = draft_int8
+        self.n_draft = n_draft
+        self._qparams = None
+        if draft_int8:
+            assert not cfg, "speculation covers the Turbo chain only"
+            assert not kv_int8, \
+                "speculation verifies into the bf16 slot cache"
+            assert "w_q" not in str(
+                jax.tree_util.tree_structure(t3_params)), \
+                "draft_int8 needs the float model as the verify target"
+            from ..utils.quantize import (best_serving_mode,
+                                          quantize_t3_backbone)
+            self._qparams = quantize_t3_backbone(
+                t3_params, mode=best_serving_mode(hp.backbone))
         # bucketed cache: start at one chunk's worth of headroom and grow as
         # the furthest slot advances (host-side upper bounds, no extra syncs)
         Lc = t3m.cond_len(hp)
         self._cap_base = Lc + text_bucket + (2 if cfg else 1)
-        self._t_full = self._cap_base + max_new_tokens
+        # spec rounds write a K+1 slab whose tail can overhang the last
+        # emitted token by K positions (rejected drafts) — size for it
+        self._t_full = (self._cap_base + max_new_tokens
+                        + (n_draft + 1 if draft_int8 else 0))
         self._t_cap = min(self._t_full,
                           self._cap_base + max(4 * chunk, 16))
         self.state = init_slots(hp, n_slots, text_bucket, max_new_tokens,
@@ -549,15 +756,32 @@ class ContinuousTTSServer:
     def _run_feeds(self, feeds):
         """Two-phase feed execution: dispatch every block's vocode program
         back-to-back (per-stream order preserved — a stream's blocks stay
-        consecutive), then fetch all audio in ONE gather, then invoke the
-        callbacks in order. N concurrent streams' feeds cost max(compute)
-        + one round-trip instead of N sequential dispatch+fetch round-trips
-        — audio bit-identical to sequential feed()s (same programs, same
-        inputs; only the fetch is deferred)."""
+        consecutive), then fetch. Steady state fetches all audio in ONE
+        gather (N concurrent streams' feeds cost max(compute) + one
+        round-trip instead of N sequential dispatch+fetch round-trips).
+        While any stream in the batch is still waiting for its FIRST audio,
+        fetches stagger per-feed instead: each callback fires as soon as
+        its own vocode lands rather than after the whole batch — an
+        earlier-dispatched stream's TTFA stops paying for its batchmates'
+        vocodes (the later fetch round-trips overlap the still-running
+        feeds' device compute). Audio bit-identical either way: same
+        programs, same inputs; only fetch timing differs."""
         if not feeds:
             return
         handles = [st.voc.feed_dispatch(blk, final=final)
                    for st, blk, final in feeds]
+        stagger = any(not st.first_fed for st, _b, _f in feeds)
+
+        def _deliver(st, final, audio):
+            if len(audio) or final:
+                if len(audio):
+                    st.first_fed = True
+                st.cb(audio, final)
+
+        if stagger:
+            for (st, _blk, final), h in zip(feeds, handles):
+                _deliver(st, final, st.voc.feed_fetch(h))
+            return
         # one gather for every device handle (None/host handles pass through)
         devs = [h[0] for h in handles if isinstance(h, tuple)]
         fetched = iter(jax.device_get(devs))
@@ -566,8 +790,7 @@ class ContinuousTTSServer:
                 audio = st.voc.feed_fetch((np.asarray(next(fetched)), h[1]))
             else:
                 audio = st.voc.feed_fetch(h)
-            if len(audio) or final:
-                st.cb(audio, final)
+            _deliver(st, final, audio)
 
     def _harvest(self, status: np.ndarray = None, skip=()):
         """Retire finished rows. `status` is a pack_status snapshot (possibly
@@ -652,11 +875,19 @@ class ContinuousTTSServer:
                 st is not None and st.fed_raw < self.first_chunk
                 for st in self._slot_stream):
             n_steps = self.first_chunk
+        # spec rounds emit up to K+1 tokens each; match the round's token
+        # budget. The slab's K-position overhang past the last emitted token
+        # is transient (rewritten next dispatch), so it enters `needed` but
+        # not the cumulative per-slot bound.
+        K1 = self.n_draft + 1
+        n_rounds = -(-n_steps // K1) if self.draft else 0
+        adv = n_rounds * K1 if self.draft else n_steps
+        over = self.n_draft if self.draft else 0
         # bucketed growth: ensure the cache covers every slot's next chunk.
         # Clamp to the full capacity: a finished-but-unharvested slot's bound
         # keeps advancing for one lagged round and may exceed it (rows never
         # write past t_full — done rows don't advance).
-        needed = min(max(b for b in self._slot_bound) + n_steps,
+        needed = min(max(b for b in self._slot_bound) + adv + over,
                      self._t_full)
         if needed > self._t_cap:
             new_cap = self._t_cap
@@ -666,12 +897,17 @@ class ContinuousTTSServer:
                               + 2 * (new_cap - self._cap_base))
             self.state = grow_slot_cache(self.state, new_t_cap=new_cap)
             self._t_cap = new_cap
-        self.state = decode_chunk_multi(self.t3_params, self.hp, self.state,
-                                        n_steps=n_steps, top_k=self.top_k,
-                                        cfg_mode=self.cfg)
+        if self.draft:
+            self.state = decode_chunk_multi_spec(
+                self.t3_params, self._qparams, self.hp, self.state,
+                n_rounds=n_rounds, n_draft=self.n_draft, top_k=self.top_k)
+        else:
+            self.state = decode_chunk_multi(
+                self.t3_params, self.hp, self.state, n_steps=n_steps,
+                top_k=self.top_k, cfg_mode=self.cfg)
         for i in range(self.n_slots):         # advance host upper bounds
             if self._slot_req[i] is not None:
-                self._slot_bound[i] += n_steps
+                self._slot_bound[i] += adv
         return True
 
     def step(self) -> list:
@@ -779,16 +1015,23 @@ class ContinuousTTSServer:
                                min_p=jnp.asarray(0.05),
                                cfg_weight=jnp.asarray(0.5),
                                cfg_mode=self.cfg)
-            self.state = decode_chunk_multi(self.t3_params, self.hp,
-                                            self.state, n_steps=self.chunk,
-                                            top_k=self.top_k,
-                                            cfg_mode=self.cfg)
-            if self.first_chunk < self.chunk:
-                # the short first-feed-prioritization round program
+            if self.draft:
+                K1 = self.n_draft + 1
+                for n_steps in {self.chunk, self.first_chunk}:
+                    self.state = decode_chunk_multi_spec(
+                        self.t3_params, self._qparams, self.hp, self.state,
+                        n_rounds=-(-n_steps // K1), n_draft=self.n_draft,
+                        top_k=self.top_k)
+            else:
                 self.state = decode_chunk_multi(
-                    self.t3_params, self.hp, self.state,
-                    n_steps=self.first_chunk, top_k=self.top_k,
-                    cfg_mode=self.cfg)
+                    self.t3_params, self.hp, self.state, n_steps=self.chunk,
+                    top_k=self.top_k, cfg_mode=self.cfg)
+                if self.first_chunk < self.chunk:
+                    # the short first-feed-prioritization round program
+                    self.state = decode_chunk_multi(
+                        self.t3_params, self.hp, self.state,
+                        n_steps=self.first_chunk, top_k=self.top_k,
+                        cfg_mode=self.cfg)
             np.asarray(pack_status(self.state))
 
         _touch()

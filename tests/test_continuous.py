@@ -792,3 +792,117 @@ class TestWarmup:
             S3GEN_SR)
         n = eng.warmup_grid(ref, max_gen=8, batch_sizes=(1,))
         assert n >= 1
+
+
+class TestSpeculativeDraft:
+    """draft_int8=True: the slot machine drafts with the model's own int8
+    weights and verifies with the bf16 target (decode_chunk_multi_spec).
+    The round-4 VERDICT done-criterion: streams with draft on are
+    bit-identical to draft-off."""
+
+    def test_draft_tokens_identical_to_draft_off(self, setup):
+        """Staggered requests: token results with draft on == draft off."""
+        hp, params, cond = setup
+        reqs = lambda: [_req(cond, rid=i, seed=900 + i, n_text=4 + i,
+                             max_new=20, temperature=0.7 + 0.1 * i)
+                        for i in range(3)]
+
+        def drive(**kw):
+            srv = _server(hp, params, **kw)
+            rs = reqs()
+            srv.submit(rs[0])
+            srv.step()
+            srv.submit(rs[1])
+            srv.submit(rs[2])
+            return dict(srv.run_until_idle())
+
+        off = drive()
+        for K in (3, 8):
+            on = drive(draft_int8=True, n_draft=K)
+            assert set(on) == set(off)
+            for rid in off:
+                np.testing.assert_array_equal(
+                    on[rid], off[rid], err_msg=f"rid={rid} K={K}")
+
+    def test_draft_progress_lower_bound(self, setup):
+        """Even with every draft rejected, a spec round emits >= 1 token per
+        row — the server always terminates within the sequential round
+        count. (Token-match acceptance: position 0's sample is free.)"""
+        hp, params, cond = setup
+        srv = _server(hp, params, draft_int8=True, n_draft=4)
+        r = _req(cond, rid=5, seed=55, max_new=9)
+        srv.submit(r)
+        rounds = 0
+        while srv.serve_round():
+            rounds += 1
+            assert rounds < 40
+        assert 5 in srv.results
+        assert 1 <= len(srv.results[5]) <= 9
+
+    def test_draft_serve_round_matches_step_path(self, setup):
+        """serve_round's lagged-harvest drive with draft on returns the same
+        tokens as the synchronous step() drive."""
+        hp, params, cond = setup
+        mk = lambda: [_req(cond, rid=i, seed=60 + i, max_new=12)
+                      for i in range(2)]
+        srv_a = _server(hp, params, draft_int8=True, n_draft=6)
+        for r in mk():
+            srv_a.submit(r)
+        a = dict(srv_a.run_until_idle())
+        srv_b = _server(hp, params, draft_int8=True, n_draft=6)
+        for r in mk():
+            srv_b.submit(r)
+        while True:
+            srv_b.step()
+            if all(x is None for x in srv_b._slot_req) and not srv_b._pending:
+                break
+        for rid in a:
+            np.testing.assert_array_equal(a[rid], srv_b.results[rid])
+
+    def test_draft_rejects_cfg_and_kv_int8(self, setup):
+        hp, params, cond = setup
+        with pytest.raises(AssertionError):
+            _server(hp, params, draft_int8=True, cfg=True)
+        with pytest.raises(AssertionError):
+            _server(hp, params, draft_int8=True, kv_int8=True)
+
+    def test_draft_streams_byte_identical_to_draft_off(self, setup):
+        """Streaming through the slot machine with draft on: every (chunk,
+        final) byte-stream identical to draft-off."""
+        from chatterbox_tpu.models.s3gen.model import (S3GenEngine,
+                                                       s3gen_init, S3GEN_SR)
+        from chatterbox_tpu.models.s3gen.flow import FlowDims
+        from chatterbox_tpu.models.s3tok.model import S3TokenizerConfig
+        hp, params, cond = setup
+        tok_cfg = S3TokenizerConfig.tiny_test()
+        dims = FlowDims.tiny_test()
+        eng = S3GenEngine(s3gen_init(jax.random.key(2), meanflow=True,
+                                     tok_cfg=tok_cfg, dims=dims,
+                                     hift_base=32),
+                          meanflow=True, tok_cfg=tok_cfg, dims=dims,
+                          n_timesteps=2)
+        rng = np.random.default_rng(9)
+        ref = eng.embed_ref(
+            (rng.standard_normal(S3GEN_SR) * 0.1).astype(np.float32),
+            S3GEN_SR)
+
+        def drive(**kw):
+            srv = ContinuousTTSServer(params, hp, n_slots=3, text_bucket=16,
+                                      max_new_tokens=14, chunk=4, top_k=40,
+                                      s3gen=eng, stream_chunk=5, **kw)
+            chunks = {s: [] for s in (71, 72)}
+            for s in chunks:
+                r = _req(cond, rid=s, seed=s, max_new=14)
+                r.ref = ref
+                srv.submit(r,
+                           on_chunk=lambda c, f, s=s: chunks[s].append((c, f)))
+            srv.run_until_idle()
+            return chunks
+
+        off = drive()
+        on = drive(draft_int8=True, n_draft=5)
+        for s in off:
+            assert len(on[s]) == len(off[s]) > 0
+            for (c1, f1), (c2, f2) in zip(off[s], on[s]):
+                assert f1 == f2
+                np.testing.assert_array_equal(c1, c2)

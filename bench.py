@@ -45,6 +45,7 @@ turbo_xrt.
 """
 import json
 import os
+import signal
 import sys
 import time
 
@@ -56,15 +57,34 @@ import jax.numpy as jnp
 # programs recompile anyway (fresh cache keys each run — observed twice with
 # identical shapes); only some programs hit. Budget planning below assumes
 # cold compiles.
+#
+# r5 hardening (chatterbox_tpu/utils/jaxcache.py): writes are atomic (a
+# driver kill mid-write used to leave truncated entries), and the CPU
+# backend (the nano-cpu child) gets a per-host-ISA subdirectory — this
+# checkout is mounted by heterogeneous machines and a foreign-ISA CPU
+# executable deserializes into slow-or-SIGILL code (the r4 record's
+# nano-cpu ran with exactly that feature-mismatch warning).
+from chatterbox_tpu.utils.jaxcache import (atomic_cache_writes,
+                                           cpu_scoped_dir,
+                                           forked_cache_writes)
+_CACHE_BASE = os.environ.get(
+    "CHATTERBOX_BENCH_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache_tpu"))
+atomic_cache_writes()
+forked_cache_writes()   # CPU-backend writes only; TPU writes stay inline
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache_tpu"))
+                  cpu_scoped_dir(_CACHE_BASE)
+                  if os.environ.get("JAX_PLATFORMS") == "cpu"
+                  else _CACHE_BASE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# 2400 s soft budget: r4 added four long-compile extras (~1200 s cold);
-# every extra emits immediately and the primary is re-emitted after each,
-# so a harder external kill still keeps everything measured so far
-BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "2400"))
+# Soft budget calibrated to the DRIVER's observed kill point: the r4 record
+# (BENCH_r04.json) was killed at ~1065-1100 s wall (rc=124) while the old
+# 2400 s soft budget thought it had time — cfg520_long was lost. Extras are
+# ordered so every BASELINE config + both long-budget configs land well
+# before this; the batch-scaling extras run last.
+BUDGET_S = float(os.environ.get("CHATTERBOX_BENCH_BUDGET_S", "1020"))
 _T_START = time.perf_counter()
 
 
@@ -506,9 +526,13 @@ def bench_stream_b4(results, ctx):
                                             jnp.int32),
         emotion_adv=None,
     )
+    # first_chunk=8: first-feed prioritization (r5) — while any stream
+    # awaits its first audio, decode rounds shorten to 8 steps and the
+    # first vocode fires at 8 valid tokens (~200 ms of audio after the
+    # 3-token lookahead) instead of stalling behind a full 25-step round
     srv = ContinuousTTSServer(t3_params, hp, n_slots=B, text_bucket=32,
                               max_new_tokens=N, chunk=25, top_k=1000,
-                              s3gen=engine, stream_chunk=25)
+                              s3gen=engine, stream_chunk=25, first_chunk=8)
 
     def run(n_req, seed0):
         t_first = {}
@@ -631,9 +655,12 @@ def bench_nano_cpu(results):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
     _log(f"nano-cpu: spawning CPU-backend child ({os.cpu_count()} cores) ...")
+    # never let the child outlive the driver's kill window: everything the
+    # parent measured would die with it
+    child_budget = max(180.0, min(900.0, BUDGET_S - _elapsed() - 60.0))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--nano-cpu-child"],
-        env=env, capture_output=True, text=True, timeout=900)
+        env=env, capture_output=True, text=True, timeout=child_budget)
     sys.stderr.write(out.stderr[-2000:])
     if out.returncode != 0:
         raise RuntimeError(f"nano-cpu child failed rc={out.returncode}")
@@ -693,9 +720,12 @@ def nano_cpu_child():
 
     _log("nano-cpu: compiling ...")
     step(0)
-    # min-of-3: on this image the ONE core is shared with whatever else the
-    # host runs, and a contended sample costs ~25% (measured 0.29 vs 0.39)
-    runs = [step(i + 1) for i in range(3)]
+    # min-of-4: on this image the ONE core is shared with whatever else the
+    # host runs, and a contended sample costs ~25% (measured 0.29 vs 0.39);
+    # the r4 record caught exactly that (0.293 vs 0.395 on r3) — more
+    # samples + the early/quiet slot in the run order bound the noise
+    runs = [step(i + 1) for i in range(4)]
+    _log(f"nano-cpu: per-run walls {[round(r[0], 2) for r in runs]} s")
     wall = min(r[0] for r in runs)
     xrt = (runs[-1][1] / 25.0) / wall
     _log(f"nano-cpu: {wall:.3f}s for {runs[-1][1] / 25.0:.0f}s audio "
@@ -707,6 +737,21 @@ def nano_cpu_child():
 
 def main():
     results = {}
+
+    # a driver kill (timeout → SIGTERM) can land mid-extra; flush the full
+    # summary + the primary as the final lines so no measured metric is ever
+    # lost to a kill again (r4 lost cfg520_long to exactly this)
+    def _flush_tail_and_exit(signum, frame):
+        _log(f"SIGTERM at {_elapsed():.0f}s — flushing measured metrics")
+        if "turbo_xrt" in results:
+            _emit_summary(results)
+            _emit("turbo_xrt", results["turbo_xrt"], "x_realtime",
+                  results["turbo_xrt"] / 20.0)
+        sys.stdout.flush()
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _flush_tail_and_exit)
+
     ctx = bench_turbo(results)           # primary — must succeed
     cfg_ctx = {}
 
@@ -728,24 +773,25 @@ def main():
             cfg_ctx.update(bench_cfg520({}))
         bench_mtl(results, cfg_ctx)
 
-    # ordering: cheap/recorded-every-round metrics first, the two
-    # long-budget configs (expensive cold compiles: ~260/~450 s each,
-    # cached afterwards) interleaved so one cold run can't starve the
-    # whole tail (measured: a fully cold turbo_long+cfg520_long pair ate
-    # ~900 s of the 1500 s budget)
+    # ordering (r5): every BASELINE config and both long-budget metrics
+    # FIRST — the r4 driver kill (~1065 s) lost cfg520_long because it ran
+    # last, and nano_cpu measured noisy because it ran late. nano_cpu runs
+    # second: the parent blocks on the child, so it's the quietest point
+    # the run has, and BASELINE config 1 can no longer fall off the record.
+    # The batch-scaling extras close the run.
     extras = [
         ("ttfa", lambda: bench_ttfa(results, ctx)),
-        ("batch8", lambda: _bench_batchN(results, ctx, 8)),
+        ("nano_cpu", lambda: bench_nano_cpu(results)),
         ("turbo_long", lambda: bench_turbo_long(results, ctx)),
         ("cfg520", run_cfg520),
-        ("vc", run_vc),
-        ("turbo_bf16", lambda: bench_turbo_bf16(results, ctx)),
-        ("stream_b4", lambda: bench_stream_b4(results, ctx)),
-        ("mtl", run_mtl),
-        ("batch16", lambda: _bench_batchN(results, ctx, 16)),
-        ("nano_cpu", lambda: bench_nano_cpu(results)),
-        ("batch32", lambda: _bench_batchN(results, ctx, 32)),
         ("cfg520_long", run_cfg520_long),
+        ("vc", run_vc),
+        ("mtl", run_mtl),
+        ("stream_b4", lambda: bench_stream_b4(results, ctx)),
+        ("batch8", lambda: _bench_batchN(results, ctx, 8)),
+        ("turbo_bf16", lambda: bench_turbo_bf16(results, ctx)),
+        ("batch16", lambda: _bench_batchN(results, ctx, 16)),
+        ("batch32", lambda: _bench_batchN(results, ctx, 32)),
     ]
     # optional subset selection for local iteration: `python bench.py ttfa ...`
     if len(sys.argv) > 1:

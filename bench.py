@@ -66,13 +66,15 @@ import jax.numpy as jnp
 # nano-cpu ran with exactly that feature-mismatch warning).
 from chatterbox_tpu.utils.jaxcache import (atomic_cache_writes,
                                            cpu_scoped_dir,
-                                           forked_cache_writes)
+                                           forked_cache_writes,
+                                           verified_cache_reads)
 _CACHE_BASE = os.environ.get(
     "CHATTERBOX_BENCH_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
                  ".jax_cache_tpu"))
 atomic_cache_writes()
 forked_cache_writes()   # CPU-backend writes only; TPU writes stay inline
+verified_cache_reads()  # CPU-backend reads probed once in a forked child
 jax.config.update("jax_compilation_cache_dir",
                   cpu_scoped_dir(_CACHE_BASE)
                   if os.environ.get("JAX_PLATFORMS") == "cpu"

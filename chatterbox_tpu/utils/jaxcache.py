@@ -31,6 +31,19 @@ same checkout):
    process. TPU-backend writes stay inline (the TPU relay's socket state
    is not fork-safe).
 
+4. The same serialize race can also SUCCEED while producing a well-formed
+   but semantically-garbage buffer: the entry lands atomically, looks
+   valid, and ABORTS `backend.deserialize_executable` in every process
+   that later READS it (observed: a full-suite "Fatal Python error:
+   Aborted" inside `get_executable_and_time` on an entry this repo's own
+   hardened writer produced). No write-side check can fully close this —
+   only a read that survives the crash can.
+   → `verified_cache_reads` probes each CPU-backend entry ONCE in a forked
+   child (deserialize in the child; a native crash there deletes the
+   entry and reports a miss). A `.verified/<key>` marker makes every
+   subsequent read of that entry go straight through inline, so a warm
+   cache pays zero forks.
+
 All are no-ops to call more than once.
 """
 from __future__ import annotations
@@ -169,3 +182,95 @@ def forked_cache_writes(timeout_s: float = 120.0) -> None:
 
     cc.put_executable_and_time = put_executable_and_time
     _FORKED = True
+
+
+_VERIFIED = False
+
+
+def verified_cache_reads(timeout_s: float = 120.0) -> None:
+    """Make CPU-backend persistent-cache READS crash-proof.
+
+    `backend.deserialize_executable` ABORTS the process on a semantically-
+    garbage entry (module docstring #4) — no Python try/except can catch
+    it. Each entry is therefore deserialized ONCE in a forked probe child:
+    if the child survives, a `.verified/<key>` marker is written and the
+    parent (and every later process) reads the entry inline forever after;
+    if the child dies on a signal or hangs, the entry file is DELETED, the
+    read reports a miss, and the program simply recompiles (the rewrite
+    re-probes). Probe cost is one fork + one extra deserialize per entry
+    per cache lifetime; a warm, verified cache pays nothing.
+
+    Python-level exceptions inside the probe (decompress errors etc.) exit
+    the child cleanly: they reproduce identically inline, where jax's
+    `_cache_read` already catches them.
+    """
+    global _VERIFIED
+    if _VERIFIED or not hasattr(os, "fork"):
+        return
+    try:
+        from jax._src import compilation_cache as cc
+        from jax._src import lru_cache as lc
+    except ImportError:          # layout moved; fail open
+        return
+    orig = cc.get_executable_and_time
+
+    def get_executable_and_time(cache_key, compile_options, backend,
+                                executable_devices):
+        if getattr(backend, "platform", None) != "cpu":
+            return orig(cache_key, compile_options, backend,
+                        executable_devices)
+        cache = cc._get_cache(backend)
+        path = getattr(cache, "path", None)
+        if path is None:         # unknown cache impl; read inline
+            return orig(cache_key, compile_options, backend,
+                        executable_devices)
+        entry = path / f"{cache_key}{lc._CACHE_SUFFIX}"
+        if not entry.exists():   # miss: nothing to probe
+            return None, None
+        marker_dir = path / ".verified"
+        marker = marker_dir / cache_key
+        if marker.exists():
+            return orig(cache_key, compile_options, backend,
+                        executable_devices)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            warnings.simplefilter("ignore", DeprecationWarning)
+            pid = os.fork()
+        if pid == 0:                      # probe child
+            try:
+                import faulthandler
+                faulthandler.disable()    # a child crash is handled; no dump
+                orig(cache_key, compile_options, backend, executable_devices)
+            except BaseException:
+                pass                      # Python errors reproduce inline
+            os._exit(0)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            done, status = os.waitpid(pid, os.WNOHANG)
+            if done:
+                break
+            if time.monotonic() > deadline:
+                os.kill(pid, 9)
+                os.waitpid(pid, 0)
+                status = -1
+                break
+            time.sleep(0.005)
+        if status != 0:                   # native crash/hang: poison entry
+            try:
+                os.unlink(entry)
+            except OSError:
+                pass
+            warnings.warn(
+                f"persistent-cache entry {cache_key!r} crashed the forked "
+                f"deserialize probe (status {status}); entry deleted, "
+                f"treating as a cache miss")
+            return None, None
+        try:
+            marker_dir.mkdir(parents=True, exist_ok=True)
+            marker.write_bytes(b"")
+        except OSError:
+            pass                          # unverifiable ≠ unreadable
+        return orig(cache_key, compile_options, backend, executable_devices)
+
+    cc.get_executable_and_time = get_executable_and_time
+    _VERIFIED = True

@@ -32,13 +32,18 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # write_bytes upstream). See chatterbox_tpu/utils/jaxcache.py.
 from chatterbox_tpu.utils.jaxcache import (atomic_cache_writes,  # noqa: E402
                                            cpu_scoped_dir,
-                                           forked_cache_writes)
+                                           forked_cache_writes,
+                                           verified_cache_reads)
 _CACHE_DIR = cpu_scoped_dir(os.path.join(os.path.dirname(__file__),
                                          ".jax_cache"))
 atomic_cache_writes()
 # XLA:CPU executable.serialize SIGSEGVs ~1-in-few-hundred writes (killed two
 # full-suite runs this round); a forked writer makes a crash skip the entry
 forked_cache_writes()
+# ... and the same race can SUCCEED into a well-formed garbage entry that
+# aborts deserialize on READ (killed a third run); entries are probed once
+# in a forked child and marked verified
+verified_cache_reads()
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -114,6 +114,73 @@ class TestJaxCache:
         assert calls == []                # parent never ran the original
         assert any("skipped" in str(w.message) for w in rec)
 
+    def test_verified_read_deletes_poison_entry(self, tmp_path, monkeypatch):
+        """A cache entry whose deserialize ABORTS (well-formed garbage from
+        the serialize race) must be deleted and reported as a miss — not
+        kill the process (the observed full-suite 'Fatal Python error:
+        Aborted' inside get_executable_and_time)."""
+        import pathlib
+        import warnings as W
+        from chatterbox_tpu.utils import jaxcache
+        from jax._src import compilation_cache as cc
+
+        entry = tmp_path / "kp-cache"
+        entry.write_bytes(b"garbage")
+
+        class _Cache:
+            path = pathlib.Path(tmp_path)
+
+        class _Cpu:
+            platform = "cpu"
+
+        def aborting_orig(*a, **kw):
+            os.kill(os.getpid(), 6)       # deserialize_executable's abort
+
+        monkeypatch.setattr(jaxcache, "_VERIFIED", False)
+        monkeypatch.setattr(cc, "get_executable_and_time", aborting_orig)
+        monkeypatch.setattr(cc, "_get_cache", lambda backend: _Cache())
+        jaxcache.verified_cache_reads(timeout_s=30.0)
+        with W.catch_warnings(record=True) as rec:
+            W.simplefilter("always")
+            out = cc.get_executable_and_time("kp", None, _Cpu(), None)
+        assert out == (None, None)
+        assert not entry.exists()         # poison entry removed
+        assert any("deleted" in str(w.message) for w in rec)
+        assert not (tmp_path / ".verified" / "kp").exists()
+
+    def test_verified_read_marks_and_skips_probe(self, tmp_path, monkeypatch):
+        """A good entry is probed once (marker written); later reads go
+        straight to the original — no second fork."""
+        import pathlib
+        from chatterbox_tpu.utils import jaxcache
+        from jax._src import compilation_cache as cc
+
+        (tmp_path / "kg-cache").write_bytes(b"ok")
+        calls = tmp_path / "calls"        # cross-process call counter
+
+        class _Cache:
+            path = pathlib.Path(tmp_path)
+
+        class _Cpu:
+            platform = "cpu"
+
+        def counting_orig(cache_key, co, backend, devs):
+            with open(calls, "ab") as f:
+                f.write(b"x")
+            return ("exe", 7)
+
+        monkeypatch.setattr(jaxcache, "_VERIFIED", False)
+        monkeypatch.setattr(cc, "get_executable_and_time", counting_orig)
+        monkeypatch.setattr(cc, "_get_cache", lambda backend: _Cache())
+        jaxcache.verified_cache_reads(timeout_s=30.0)
+        assert cc.get_executable_and_time("kg", None, _Cpu(), None) == \
+            ("exe", 7)
+        assert (tmp_path / ".verified" / "kg").exists()
+        assert calls.read_bytes() == b"xx"     # probe child + parent inline
+        assert cc.get_executable_and_time("kg", None, _Cpu(), None) == \
+            ("exe", 7)
+        assert calls.read_bytes() == b"xxx"    # marker path: inline only
+
     def test_forked_write_success_lands(self, tmp_path, monkeypatch):
         """The child's successful write is visible to the parent."""
         from chatterbox_tpu.utils import jaxcache

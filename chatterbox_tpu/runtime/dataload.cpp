@@ -49,7 +49,8 @@ struct Loader {
   std::atomic<int64_t> emitted{0};
   std::atomic<int64_t> errors{0};
   int32_t epoch = 0;
-  bool done = false;          // all epochs claimed, or destroy requested
+  bool done = false;          // all epochs CLAIMED (no new work to start)
+  bool stopping = false;      // destroy requested (abandon queued/held work)
   int32_t running = 0;        // workers still alive (guarded by mu)
   std::vector<std::thread> workers;
 
@@ -67,7 +68,7 @@ struct Loader {
   // claim the next path id, advancing epochs; -1 when exhausted
   int64_t claim(int64_t* global_index) {
     std::lock_guard<std::mutex> lk(mu);
-    if (done) return -1;
+    if (done || stopping) return -1;
     if (cursor >= (int64_t)order.size()) {
       ++epoch;
       if (epochs > 0 && epoch >= epochs) { done = true; cv_pop.notify_all(); return -1; }
@@ -93,8 +94,12 @@ struct Loader {
       it.index = gidx;
       it.path_id = pid;
       std::unique_lock<std::mutex> lk(mu);
-      cv_push.wait(lk, [&] { return queue.size() < queue_cap || done; });
-      if (done) break;
+      // gate ONLY on capacity and destroy: `done` (all paths claimed) must
+      // not drop a decoded item — the worker that observed exhaustion in
+      // claim() may race a peer still holding its final decode (seen as a
+      // 1-in-N flaky missing clip under n_threads=2)
+      cv_push.wait(lk, [&] { return queue.size() < queue_cap || stopping; });
+      if (stopping) break;
       queue.push_back(std::move(it));
       cv_pop.notify_one();
     }
@@ -164,6 +169,7 @@ void dl_destroy(void* h) {
   {
     std::lock_guard<std::mutex> lk(L->mu);
     L->done = true;
+    L->stopping = true;
   }
   L->cv_push.notify_all();
   L->cv_pop.notify_all();

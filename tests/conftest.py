@@ -44,9 +44,10 @@ forked_cache_writes()
 # aborts deserialize on READ (killed a third run); entries are probed once
 # in a forked child and marked verified
 verified_cache_reads()
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+if os.environ.get("CHATTERBOX_TEST_NO_CACHE") != "1":   # leak/A-B debugging
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 

@@ -93,6 +93,22 @@ class TestWavLoader:
         assert len(list(ld)) == 4
         assert ld.errors() == 1
 
+    def test_no_drop_at_epoch_exhaustion(self, tmp_path):
+        """Regression: a worker that observed epoch exhaustion in claim()
+        used to set `done`, and a PEER still holding its final decoded clip
+        would see it in the push gate and drop the item (flaky 3-of-4
+        delivery under n_threads=2). Delivery must be complete every time;
+        only dl_destroy may abandon work."""
+        if runtime.get_dataload_lib() is None:
+            pytest.skip("no native toolchain")
+        paths = self._make(tmp_path, n=4)
+        for it in range(60):
+            ld = runtime.WavLoader(paths, n_threads=2, max_frames=4000,
+                                   epochs=1, seed=it)
+            got = sorted(pid for _, pid in ld)
+            assert got == [0, 1, 2, 3], f"iteration {it}: {got}"
+            ld.close()
+
     def test_single_thread_order_deterministic(self, tmp_path):
         if runtime.get_dataload_lib() is None:
             pytest.skip("no native toolchain")

@@ -53,6 +53,36 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import pytest  # noqa: E402
 
+# Each XLA:CPU executable maps its JIT code as an anon r-x/r--/rw- triplet;
+# a heavy module (test_decode & co) adds ~300 triplets ≈ 900 VMAs per test
+# and nothing releases them while the executable is cached. A full suite
+# extrapolates to ~56k maps — brushing the kernel's vm.max_map_count
+# (65530 here), where the next mmap fails and the process dies (observed as
+# an unexplained full-suite crash this round; /proc/self/maps snapshots at
+# 41 % of the suite showed ~23k anon triplets). jax.clear_caches() measurably
+# releases them (910 → 15 above baseline in the repro), so bound the count:
+# clear when past a threshold with ample headroom. The persistent on-disk
+# cache makes the forced recompiles cheap (deserialize, not re-codegen).
+_MAP_COUNT_CLEAR_THRESHOLD = int(
+    os.environ.get("CHATTERBOX_TEST_MAP_THRESHOLD", "30000"))
+
+
+def _n_vmas() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-linux: no limit we know how to watch
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_code_maps():
+    yield
+    if _n_vmas() > _MAP_COUNT_CLEAR_THRESHOLD:
+        import gc
+        jax.clear_caches()
+        gc.collect()
+
 
 @pytest.fixture(autouse=True)
 def _drain_chatterbox_threads():

@@ -654,8 +654,13 @@ def bench_nano_cpu(results):
     image has os.cpu_count() cores, so the target is scaled per-core
     (3.0 * min(cores,8)/8) and the raw xrt is emitted."""
     import subprocess
+    # XNNPACK-routed kernels measured fastest on this image's XLA:CPU
+    # (tools/nano_cpu_onednn.py, min-of-4 each, same-session conditions:
+    # default 0.281 / onednn 0.293 / onednn_fus 0.289 / XNNPACK 0.303 /
+    # xnn_graph 0.300 → +7.8 % over the default emitters)
     env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_cpu_use_xnnpack=true").strip())
     _log(f"nano-cpu: spawning CPU-backend child ({os.cpu_count()} cores) ...")
     # never let the child outlive the driver's kill window: everything the
     # parent measured would die with it

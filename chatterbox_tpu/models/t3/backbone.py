@@ -118,6 +118,30 @@ class KVCache(NamedTuple):
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+class KVCacheLayers(NamedTuple):
+    """Per-layer KV cache: a tuple of (B, H_kv, T_max, head_dim) arrays
+    instead of one stacked (L, ...) tensor.
+
+    XLA:CPU's thunk runtime does NOT alias the stacked cache's per-layer
+    dynamic-update-slices inside a while_loop — each of the 2L writes
+    copies the WHOLE (L, B, H, T, D) buffer (profiled on the Nano decode:
+    ~24 copy fusions × ~1.6 ms ≈ 40 ms/token, 2× the step's matmul time;
+    DESIGN.md round-5 table). With per-layer tensors each write copies at
+    most its own layer. TPU keeps the stacked layout (`KVCache`): there XLA
+    aliases the full-buffer write in place, and one tensor beats 2L small
+    ones for layout/fusion."""
+    k: tuple   # L × (B, H_kv, T_max, head_dim)
+    v: tuple
+
+    @classmethod
+    def zeros(cls, cfg: BackboneConfig, batch: int, max_len: int,
+              dtype=jnp.bfloat16) -> "KVCacheLayers":
+        kv_heads = cfg.num_kv_heads if not cfg.is_gpt else cfg.num_heads
+        shape = (batch, kv_heads, max_len, cfg.head_dim)
+        return cls(tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+                   tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)))
+
+
 class KVCacheInt8(NamedTuple):
     """Int8-quantized KV cache: values in int8 + one bf16 scale per
     (layer, row, head, position). Halves decode-attention HBM traffic vs
@@ -312,8 +336,11 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
         sin = sin.astype(x.dtype)
 
     int8_cache = isinstance(cache, KVCacheInt8)
+    layered = isinstance(cache, KVCacheLayers)
     if int8_cache:
         all_k, all_v, all_ks, all_vs = cache
+    elif layered:
+        all_k, all_v = list(cache.k), list(cache.v)
     else:
         all_k, all_v = cache.k, cache.v
     shared_start = start.ndim == 0
@@ -366,7 +393,12 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
             k, ks = quantize_kv(k)
             v, vs = quantize_kv(v)
             ks, vs = ks.astype(all_ks.dtype), vs.astype(all_vs.dtype)
-        if shared_start:
+        if layered:
+            # per-layer tensors: the update touches only this layer's
+            # buffer (scalar or per-row start both via _write_cache)
+            all_k[i] = _write_cache(all_k[i], k, start)
+            all_v[i] = _write_cache(all_v[i], v, start)
+        elif shared_start:
             all_k = _write_cache_full(all_k, k, li, start)
             all_v = _write_cache_full(all_v, v, li, start)
             if int8_cache:
@@ -441,6 +473,8 @@ def backbone_apply_unrolled(params: dict, cfg: BackboneConfig,
         x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
     if int8_cache:
         return x, KVCacheInt8(all_k, all_v, all_ks, all_vs)
+    if layered:
+        return x, KVCacheLayers(tuple(all_k), tuple(all_v))
     return x, KVCache(all_k, all_v)
 
 

@@ -112,7 +112,16 @@ def t3_generate(params: dict, hp: T3Config, cond: t3m.T3CondArrays,
     # ---- prefill ----------------------------------------------------------
     # kv_int8: int8 cache halves decode-attention HBM reads; quality A/B is
     # one command — tools/ab_int8.py
-    cache_cls = bb.KVCacheInt8 if kv_int8 else bb.KVCache
+    if kv_int8:
+        cache_cls = bb.KVCacheInt8
+    elif jax.default_backend() == "cpu":
+        # per-layer cache tensors: XLA:CPU does not alias the stacked
+        # cache's in-loop updates — each layer write copied the whole
+        # (L,B,H,T,D) buffer (~40 ms/token at Nano size, profiled; see
+        # bb.KVCacheLayers). Identical semantics, CPU-only trace branch.
+        cache_cls = bb.KVCacheLayers
+    else:
+        cache_cls = bb.KVCache
     cache = cache_cls.zeros(cfg, B, t_max, dtype=jnp.bfloat16)
     mask = bb.prefill_mask(P_pad, t_max, lens)
     positions = jnp.tile(jnp.arange(P_pad)[None], (B, 1))

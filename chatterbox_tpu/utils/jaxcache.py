@@ -55,16 +55,33 @@ import warnings
 
 
 def cpu_fingerprint() -> str:
-    """Short stable fingerprint of this host's CPU ISA (flags + vendor)."""
+    """Short stable fingerprint of this host's CPU (flags + model identity).
+
+    Flags alone are NOT enough: LLVM derives per-SKU tuning preferences
+    (e.g. +prefer-no-gather/+prefer-no-scatter) from CPUID family/model,
+    so two hosts with identical feature flags but different models produce
+    mutually-foreign AOT code — XLA's cpu_aot_loader warns "could lead to
+    execution errors such as SIGILL" and the loaded code runs with the
+    wrong tuning (measured: the r4/r5 nano-CPU records regressed 26 % on
+    exactly such entries). Family/model/stepping + the flag set separate
+    the hosts this checkout has actually been mounted on.
+    """
+    ident, feats = [], ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model", "stepping",
+                           "model name") and len(ident) < 5:
+                    ident.append(line.split(":", 1)[1].strip())
+                elif key in ("flags", "Features") and not feats:
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+                if feats and len(ident) == 5:
+                    break
     except OSError:
-        pass
-    return "unknown"
+        return "unknown"
+    blob = "|".join(ident) + "||" + feats
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
 def cpu_scoped_dir(base: str) -> str:

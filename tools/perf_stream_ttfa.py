@@ -70,10 +70,17 @@ def main():
     print("building S3Gen (meanflow) ...", flush=True)
     engine = S3GenEngine(s3gen_init(k2, meanflow=True), meanflow=True)
 
+    # host-built RefDict (identical to bench._make_ref): embed_ref would
+    # pull in the CAMPPlus/mel compile chain this probe doesn't measure
+    from chatterbox_tpu.models.s3gen.model import RefDict
     rng = np.random.default_rng(0)
-    sr = 16000
-    ref_wav = (rng.standard_normal(sr * 6).astype(np.float32) * 0.05)
-    ref = engine.embed_ref(ref_wav, sr)
+    P = 125
+    ref = RefDict(
+        prompt_token=rng.integers(0, 6561, (1, P)).astype(np.int32),
+        prompt_token_len=np.asarray([P], np.int32),
+        prompt_feat=rng.standard_normal((1, 2 * P, 80)).astype(np.float32) * 0.1,
+        embedding=rng.standard_normal((1, 192)).astype(np.float32),
+    )
 
     cond = t3m.T3CondArrays(
         speaker_emb=jnp.zeros((1, 256)),
